@@ -1,0 +1,100 @@
+"""FTM2D: 2D Fourier Transform Magnitude shingles.
+
+Parity target: `/root/reference/benchmarking/FTM2D.py:51-130` — beat-sync
+median chroma -> chrompwr(PWR=1.96) -> all 12x75 2D-FFT magnitude patches
+-> per-shingle L2 norm + log(C x + 1) -> median shingle -> unit norm;
+pair similarity exp(-||s1 - s2||^2) (`FTM2D.py:126-129`).
+
+TPU design: the descriptor is fixed-size (900,), so the whole N x N sweep
+collapses to ONE Gram matmul (`full_scores`), the same trick the reference
+only applied in StrucFTM2D (`StrucFTM2D.py:173-189`) — score-identical to
+its per-pair loop. Ablation variants (noLog / noNorm / zeroPad...) are
+toggles, mirroring `FTM2D_noLog.py` etc.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acoss_tpu.benchmarking.harness import CoverAlgorithm
+from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.ops.crp import chrompwr
+from acoss_tpu.ops.segment import sync_agg
+
+
+def fft2_mag_patches(btchroma: np.ndarray, win: int) -> np.ndarray:
+    """All fftshifted 2D-FFT magnitude patches of a (12, n_beats) matrix.
+
+    Parity: `FTM2D.py:30-48`, but batched: one jnp.fft.fft2 over the stacked
+    (n_patches, 12, win) sliding windows instead of a per-patch loop.
+    Returns (n_patches, 12 * win).
+    """
+    nchr, nbeats = btchroma.shape
+    n_patches = nbeats - win + 1
+    if n_patches <= 0:
+        return np.zeros((0, nchr * win), dtype=np.float32)
+    idx = np.arange(win)[None, :] + np.arange(n_patches)[:, None]
+    patches = jnp.asarray(btchroma.T[idx])            # (P, win, 12)
+    patches = jnp.swapaxes(patches, 1, 2)             # (P, 12, win)
+    F = jnp.abs(jnp.fft.fft2(patches, axes=(-2, -1)))
+    F = jnp.fft.fftshift(F, axes=(-2, -1))
+    return np.asarray(F.reshape(n_patches, nchr * win), dtype=np.float32)
+
+
+class FTM2D(CoverAlgorithm):
+    NAME = "FTM2D"
+    SIMILARITY_TYPES = ("main",)
+    SYMMETRIC = True
+
+    def __init__(self, chroma_type: str = "hpcp", PWR: float = 1.96,
+                 WIN: int = 75, C: float = 5.0, do_log: bool = True,
+                 do_norm: bool = True):
+        self.chroma_type = chroma_type
+        self.PWR = PWR
+        self.WIN = WIN
+        self.C = C
+        self.do_log = do_log
+        self.do_norm = do_norm
+
+    def shingle(self, chroma: np.ndarray, onsets: np.ndarray) -> np.ndarray:
+        """Single-song 900-dim FTM2D shingle (`FTM2D.py:78-117`)."""
+        out = np.zeros(12 * self.WIN, dtype=np.float32)
+        if onsets.size <= self.WIN:   # "Not enough beats" (`FTM2D.py:88`)
+            return out
+        bt = sync_agg(chroma, onsets, "median").T      # (12, n_seg)
+        bt = np.asarray(chrompwr(bt, self.PWR, axis=0))
+        sh = fft2_mag_patches(bt, self.WIN)            # (P, 900)
+        if sh.shape[0] == 0:
+            return out
+        if self.do_norm:
+            norm = np.linalg.norm(sh, axis=1)
+            norm[norm == 0] = 1
+            sh = sh / norm[:, None]
+        if self.do_log:
+            sh = np.log(self.C * sh + 1)
+        s = np.median(sh, axis=0)
+        n = np.sqrt(np.sum(s ** 2))
+        if n > 0:
+            s = s / n
+        return s.astype(np.float32)
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        chroma = fs.feature(self.chroma_type)
+        clen = fs.length(self.chroma_type)
+        onsets = fs.feature("onsets")
+        olen = fs.length("onsets")
+        shingles = np.stack([
+            self.shingle(chroma[i, :clen[i]], onsets[i, :olen[i], 0])
+            for i in range(fs.n_songs)
+        ])
+        return {"shingle": shingles}
+
+    def full_scores(self, desc: dict) -> dict:
+        S = jnp.asarray(desc["shingle"])
+        sq = jnp.sum(S * S, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            S, S.T, precision="highest")
+        sim = jnp.exp(-jnp.maximum(d2, 0.0))
+        return {"main": np.asarray(jax.device_get(sim))}

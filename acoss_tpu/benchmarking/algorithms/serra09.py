@@ -1,0 +1,122 @@
+"""Serra 2009 Qmax/Dmax — the flagship alignment algorithm.
+
+Parity target: `/root/reference/benchmarking/Serra09.py:73-196`:
+- global chroma for OTI (`Serra09.py:102`, `get_oti` over 12 shifts);
+- chroma median-downsampled x40, mfcc mean-downsampled x40, both truncated
+  to the common length N (`Serra09.py:104-114`);
+- per pair: OTI-roll -> Euclidean CSM -> sliding_csm(m=9) ->
+  mutual-kNN binarize (kappa=0.095) -> qmax & dmax, normalized by (M + N)
+  (`Serra09.py:158-196`).
+
+TPU design: descriptors are padded (N_songs, L, d) arrays; a (bi x bj) tile
+of the pair grid builds all its binary CRPs with ONE nested-vmap (CSM matmul
+on the MXU, top-k binarization on the VPU) and runs ONE batched wavefront
+qmax/dmax scan over the 2 x bi x bj stacked CRPs (chroma + mfcc share the
+alignment batch).
+
+The ssms_scatter_{qmax,dmax} similarity types (MFCC block-SSM 2D-scattering
+descriptors, `Serra09.py:30-71`) are added by `acoss_tpu.ops.scattering`;
+enable with `do_ssms=True` once descriptors are available.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acoss_tpu.benchmarking.harness import CoverAlgorithm
+from acoss_tpu.data.store import FeatureSet, pad_stack
+from acoss_tpu.ops import alignment, crp
+from acoss_tpu.ops.segment import uniform_downsample
+
+
+def global_chroma(chroma: np.ndarray) -> np.ndarray:
+    """Sum over frames, normalized by its max (`Serra09.py:24-29`)."""
+    s = chroma.sum(axis=0)
+    return s / max(s.max(), 1e-12)
+
+
+class Serra09(CoverAlgorithm):
+    NAME = "Serra09"
+    SIMILARITY_TYPES = ("chroma_qmax", "chroma_dmax",
+                        "mfcc_qmax", "mfcc_dmax")
+    SYMMETRIC = True
+    TILE = 8
+
+    def __init__(self, chroma_type: str = "hpcp", oti: bool = True,
+                 kappa: float = 0.095, m: int = 9,
+                 downsample_fac: int = 40, pad_to_multiple: int = 64):
+        self.chroma_type = chroma_type
+        self.oti = oti
+        self.kappa = kappa
+        self.m = m
+        self.downsample_fac = downsample_fac
+        self.pad_to_multiple = pad_to_multiple
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        chromas, mfccs, gchromas = [], [], []
+        clen = fs.length(self.chroma_type)
+        mlen = fs.length("mfcc_htk")
+        for i in range(fs.n_songs):
+            ch = fs.feature(self.chroma_type)[i, :clen[i]]
+            mf = fs.feature("mfcc_htk")[i, :mlen[i]]
+            mf = np.nan_to_num(mf, nan=0.0, posinf=0.0, neginf=0.0)
+            gchromas.append(global_chroma(ch))
+            ch_ds = uniform_downsample(ch, self.downsample_fac, "median")
+            mf_ds = uniform_downsample(mf, self.downsample_fac, "mean")
+            n = min(ch_ds.shape[0], mf_ds.shape[0])
+            chromas.append(ch_ds[:n].astype(np.float32))
+            mfccs.append(mf_ds[:n].astype(np.float32))
+        # Pad to a lane-friendly multiple for the wavefront kernels.
+        Lmax = max(c.shape[0] for c in chromas)
+        pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
+        chroma_arr, lengths = pad_stack(chromas, pad_to)
+        mfcc_arr, _ = pad_stack(mfccs, pad_to)
+        return {
+            "chroma": chroma_arr,
+            "mfcc": mfcc_arr,
+            "gchroma": np.stack(gchromas).astype(np.float32),
+            "length": lengths.astype(np.int32),
+        }
+
+    def _pair_crps(self, r, c):
+        """Binary CRPs (chroma + mfcc) for ONE pair of padded songs."""
+        m = self.m
+        if self.oti:
+            oti = crp.get_oti(r["gchroma"], c["gchroma"])
+            ch1 = crp.transpose_chroma(r["chroma"], oti)
+        else:
+            ch1 = r["chroma"]
+        l1e = r["length"] - m + 1
+        l2e = c["length"] - m + 1
+
+        def make(x1, x2, sliding):
+            csm = crp.get_csm(x1, x2)
+            if sliding:
+                csm = crp.sliding_csm_padded(csm, m)
+            return crp.csm_to_binary_mutual(csm, self.kappa, l1e, l2e)
+
+        Bc = make(ch1, c["chroma"], True)
+        Bm = make(r["mfcc"], c["mfcc"], True)
+        return Bc, Bm, l1e, l2e
+
+    def tile_scores(self, row: dict, col: dict) -> dict:
+        pair = jax.vmap(jax.vmap(self._pair_crps, in_axes=(None, 0)),
+                        in_axes=(0, None))
+        Bc, Bm, l1e, l2e = pair(row, col)
+        bi, bj, L, _ = Bc.shape
+        S = jnp.concatenate([Bc.reshape(-1, L, L), Bm.reshape(-1, L, L)])
+        ml = jnp.tile(l1e.reshape(-1), 2)
+        nl = jnp.tile(l2e.reshape(-1), 2)
+        q = alignment.qmax_batch(S, ml, nl)
+        d = alignment.dmax_batch(S, ml, nl)
+        denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)
+        q = (q / denom).reshape(2, bi, bj)
+        d = (d / denom).reshape(2, bi, bj)
+        return {
+            "chroma_qmax": q[0], "chroma_dmax": d[0],
+            "mfcc_qmax": q[1], "mfcc_dmax": d[1],
+        }

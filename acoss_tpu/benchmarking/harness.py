@@ -1,0 +1,190 @@
+"""The pair-grid benchmark harness.
+
+TPU-native re-design of the reference's `CoverAlgorithm` driver
+(`/root/reference/benchmarking/CoverAlgorithm.py:25-317`). The reference
+loops over (i, j) pairs in joblib workers writing into np.memmap matrices;
+here the N x N pair grid is cut into (tile x tile) blocks, each block's
+scores are computed by ONE jitted call over a batch of pairs (vmapped
+kernels feeding the MXU/VPU), and blocks stream back into a host score
+matrix. The lower-triangular + transpose-add symmetry trick
+(`CoverAlgorithm.py:165-182`) and the resumable block ledger
+(`CoverAlgorithm.py:262-292`) are preserved.
+
+Algorithms implement:
+  - ``extract_descriptors(fs) -> dict[str, np.ndarray]``: per-song compact
+    descriptors (batched arrays, leading dim N).
+  - ``tile_scores(row_desc, col_desc) -> dict[type, (bi, bj) array]``: pure,
+    jittable scoring of the full cross product of a row block against a
+    column block of songs.
+  - optionally ``full_scores(desc) -> dict[type, (N, N)]``: a one-shot
+    vectorized path (the analog of StrucFTM2D's overridden all_pairwise,
+    `StrucFTM2D.py:173-189`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from acoss_tpu.benchmarking.evaluation import (EvalStats, eval_statistics,
+                                               write_results_csv)
+from acoss_tpu.data.store import FeatureSet
+
+
+class CoverAlgorithm:
+    """Base class for cover-song scoring algorithms."""
+
+    NAME = "base"
+    SIMILARITY_TYPES: tuple = ("main",)
+    #: similarity types holding DISTANCES (lower = more similar); these are
+    #: negated before ranking (the reference's ANFScattering stores
+    #: distances, `ANFScattering.py:54-67`).
+    DISTANCE_TYPES: tuple = ()
+    SYMMETRIC = True
+    TILE = 16
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        raise NotImplementedError
+
+    def tile_scores(self, row_desc: dict, col_desc: dict) -> dict:
+        raise NotImplementedError
+
+    full_scores = None  # optional override
+
+
+def _slice_desc(desc: dict, lo: int, hi: int) -> dict:
+    return {k: v[lo:hi] for k, v in desc.items()}
+
+
+def _pad_desc(desc: dict, n_to: int) -> dict:
+    out = {}
+    for k, v in desc.items():
+        pad = [(0, n_to - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    return out
+
+
+def run_pairwise(
+    algorithm: CoverAlgorithm,
+    desc: dict,
+    n_songs: int,
+    tile: int | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 16,
+    verbose: bool = False,
+) -> dict:
+    """Sweep the pair grid, returning {similarity_type: (N, N) np.float32}.
+
+    Symmetric algorithms compute only tiles with block-row >= block-col and
+    keep the strict lower triangle, then add the transpose — exactly the
+    reference's combinations + D += D.T (`CoverAlgorithm.py:165-182`).
+
+    With `checkpoint_path`, a ledger of completed tiles plus the partial
+    score matrices is saved every `checkpoint_every` tiles and the sweep
+    resumes from it (`do_batch`'s checkpoint/resume,
+    `CoverAlgorithm.py:262-292`).
+    """
+    if algorithm.full_scores is not None:
+        Ds = {k: np.array(v, dtype=np.float32)
+              for k, v in algorithm.full_scores(desc).items()}
+        for D in Ds.values():
+            np.fill_diagonal(D, 0.0)
+        return Ds
+
+    tile = tile or algorithm.TILE
+    n_tiles = -(-n_songs // tile)
+    n_pad = n_tiles * tile
+    desc = _pad_desc(desc, n_pad)
+
+    Ds = {k: np.zeros((n_songs, n_songs), np.float32)
+          for k in algorithm.SIMILARITY_TYPES}
+    done = np.zeros((n_tiles, n_tiles), dtype=bool)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            if int(z["tile"]) == tile and int(z["n_songs"]) == n_songs:
+                done = z["done"]
+                for k in Ds:
+                    Ds[k] = z[f"D::{k}"]
+
+    tile_fn = jax.jit(algorithm.tile_scores)
+    row_idx = np.arange(tile)
+
+    def save_ckpt():
+        if not checkpoint_path:
+            return
+        payload = {"done": done, "tile": tile, "n_songs": n_songs}
+        for k, D in Ds.items():
+            payload[f"D::{k}"] = D
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, checkpoint_path)
+
+    t0 = time.time()
+    n_done_this_run = 0
+    for ti in range(n_tiles):
+        # Zigzag column order maximizes feature-block reuse, mirroring the
+        # reference's traversal (`CoverAlgorithm.py:294-295`).
+        cols = range(ti + 1) if algorithm.SYMMETRIC else range(n_tiles)
+        cols = list(cols)
+        if ti % 2 == 1:
+            cols = cols[::-1]
+        row = _slice_desc(desc, ti * tile, (ti + 1) * tile)
+        for tj in cols:
+            if done[ti, tj]:
+                continue
+            col = _slice_desc(desc, tj * tile, (tj + 1) * tile)
+            scores = tile_fn(row, col)
+            scores = {k: np.asarray(v) for k, v in scores.items()}
+            r0, c0 = ti * tile, tj * tile
+            ij = np.meshgrid(row_idx + r0, row_idx + c0, indexing="ij")
+            # mask: in-bounds, and for symmetric sweeps keep strict lower.
+            keep = (ij[0] < n_songs) & (ij[1] < n_songs)
+            if algorithm.SYMMETRIC:
+                keep &= ij[0] > ij[1]
+            else:
+                keep &= ij[0] != ij[1]
+            for k, S in scores.items():
+                Ds[k][ij[0][keep], ij[1][keep]] = S[keep]
+            done[ti, tj] = True
+            n_done_this_run += 1
+            if n_done_this_run % checkpoint_every == 0:
+                save_ckpt()
+        if verbose:
+            print(f"[{algorithm.NAME}] block-row {ti + 1}/{n_tiles} "
+                  f"({time.time() - t0:.1f}s)")
+    save_ckpt()
+
+    if algorithm.SYMMETRIC:
+        for k in Ds:
+            Ds[k] = Ds[k] + Ds[k].T
+    return Ds
+
+
+def benchmark(
+    algorithm: CoverAlgorithm,
+    fs: FeatureSet,
+    tile: int | None = None,
+    results_csv: str | None = None,
+    checkpoint_path: str | None = None,
+    verbose: bool = False,
+) -> dict[str, EvalStats]:
+    """End-to-end: descriptors -> pair sweep -> retrieval metrics (+CSV)."""
+    desc = algorithm.extract_descriptors(fs)
+    Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
+                      checkpoint_path=checkpoint_path, verbose=verbose)
+    out = {}
+    for k, D in Ds.items():
+        S = -D if k in algorithm.DISTANCE_TYPES else D
+        stats = eval_statistics(S, fs.labels)
+        out[k] = stats
+        if verbose:
+            print(f"[{algorithm.NAME}:{k}] MR={stats.mr:.3g} "
+                  f"MRR={stats.mrr:.3g} MDR={stats.mdr:.3g} "
+                  f"MAP={stats.map:.3g}")
+        if results_csv:
+            write_results_csv(results_csv, algorithm.NAME, k, stats)
+    return out

@@ -1,0 +1,44 @@
+"""Segment (beat-synchronous) aggregation helpers.
+
+Replaces the reference's use of `librosa.util.sync` (median/mean aggregation
+between boundary frames — used by FTM2D at `FTM2D.py:90` and Serra09 at
+`Serra09.py:104,111`). Semantics match librosa: boundaries are augmented
+with 0 and L, clipped, uniqued; output has len(boundaries)-1 segments.
+
+These run host-side in numpy: they execute once per song (O(N) total) on
+ragged data, while everything O(N^2) runs on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fix_frames(boundaries: np.ndarray, length: int) -> np.ndarray:
+    """Augment boundary frames with 0 and `length`, clip, unique."""
+    b = np.concatenate([[0], np.asarray(boundaries).ravel(), [length]])
+    b = np.clip(b, 0, length)
+    return np.unique(b).astype(np.int64)
+
+
+def sync_agg(X: np.ndarray, boundaries: np.ndarray,
+             aggregate: str = "median") -> np.ndarray:
+    """Aggregate frames of X (L, d) between consecutive boundaries.
+
+    Returns (n_segments, d) with n_segments = len(fix_frames)-1.
+    """
+    L = X.shape[0]
+    b = fix_frames(boundaries, L)
+    agg = np.median if aggregate == "median" else np.mean
+    out = np.empty((len(b) - 1, X.shape[1]), dtype=np.float64)
+    for k in range(len(b) - 1):
+        out[k] = agg(X[b[k]:b[k + 1]], axis=0)
+    return out
+
+
+def uniform_downsample(X: np.ndarray, fac: int,
+                       aggregate: str = "median") -> np.ndarray:
+    """Downsample (L, d) by aggregating windows of `fac` frames — the
+    reference's `librosa.util.sync(X.T, np.arange(0, L, fac), ...)`
+    (`Serra09.py:104`)."""
+    return sync_agg(X, np.arange(0, X.shape[0], fac), aggregate)

@@ -1,0 +1,76 @@
+"""End-to-end planted-clique regression: synthetic covers must be retrieved
+far above chance by FTM2D and Serra09 (the analog of the reference's
+covers80 smoke benchmark)."""
+
+import numpy as np
+import pytest
+
+from acoss_tpu.benchmarking.algorithms import FTM2D, Serra09
+from acoss_tpu.benchmarking.harness import benchmark, run_pairwise
+from acoss_tpu.data import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_synthetic_dataset(n_cliques=8, clique_size=2,
+                                  n_distractors=4, seed=1)
+
+
+def test_ftm2d_e2e(dataset, tmp_path):
+    algo = FTM2D(chroma_type="hpcp")
+    stats = benchmark(algo, dataset,
+                      results_csv=str(tmp_path / "results_synth.csv"))
+    # 20 songs, 16 in cliques of 2: chance MAP ~= 1/19; planted >= 0.5.
+    assert stats["main"].map > 0.5
+    assert stats["main"].n_scored == 16
+
+
+def test_serra09_e2e(dataset, tmp_path):
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    stats = benchmark(algo, dataset)
+    assert stats["chroma_qmax"].map > 0.6
+    assert stats["chroma_dmax"].map > 0.6
+    # mfcc channel is a weaker (but planted) signal
+    assert stats["mfcc_qmax"].map > 0.2
+
+
+def test_serra09_tile_size_invariance(dataset):
+    """Scores must not depend on the pair-grid tiling."""
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(dataset)
+    D1 = run_pairwise(algo, desc, dataset.n_songs, tile=4)
+    D2 = run_pairwise(algo, desc, dataset.n_songs, tile=7)
+    for k in D1:
+        np.testing.assert_allclose(D1[k], D2[k], atol=1e-5)
+
+
+def test_checkpoint_resume(dataset, tmp_path):
+    """A sweep resumed from a mid-run checkpoint gives identical scores."""
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(dataset)
+    ckpt = str(tmp_path / "ckpt.npz")
+    full = run_pairwise(algo, desc, dataset.n_songs, tile=8)
+
+    # run once with frequent checkpoints, then corrupt the in-memory result
+    # by resuming from an earlier checkpoint state
+    D1 = run_pairwise(algo, desc, dataset.n_songs, tile=8,
+                      checkpoint_path=ckpt, checkpoint_every=1)
+    for k in full:
+        np.testing.assert_allclose(D1[k], full[k], atol=1e-6)
+    # resume with everything done: must return the same matrices
+    D2 = run_pairwise(algo, desc, dataset.n_songs, tile=8,
+                      checkpoint_path=ckpt)
+    for k in full:
+        np.testing.assert_allclose(D2[k], full[k], atol=1e-6)
+
+
+def test_ftm2d_patches_match_loop_oracle(rng):
+    """Batched fft2 patches == per-patch scipy-style loop."""
+    from acoss_tpu.benchmarking.algorithms.ftm2d import fft2_mag_patches
+    bt = rng.random((12, 40)).astype(np.float32)
+    win = 20
+    got = fft2_mag_patches(bt, win)
+    for i in range(bt.shape[1] - win + 1):
+        F = np.fft.fft2(bt[:, i:i + win])
+        want = np.fft.fftshift(np.abs(F)).flatten()
+        np.testing.assert_allclose(got[i], want, atol=1e-3)
