@@ -71,7 +71,12 @@ def _prep(S, m_len, n_len):
     n_len = jnp.broadcast_to(jnp.asarray(n_len, jnp.int32), (B,))
     Sk = skew(S)  # (B, M+N-1, M)
     xs = (jnp.moveaxis(Sk, 1, 0), jnp.arange(M + N - 1, dtype=jnp.int32))
-    return S, Sk, xs, B, M, N, m_len, n_len
+    # Derive the zero carries from the inputs so they inherit any
+    # shard_map varying-manual-axes provenance (scan requires carry-in and
+    # carry-out types to match, including vma, under shard_map).
+    z = (S[:, :, 0] * 0).astype(jnp.float32)        # (B, M) zeros
+    best0 = z[:, 0]                                 # (B,)  zeros
+    return S, Sk, xs, B, M, N, m_len, n_len, z, best0
 
 
 @functools.partial(jax.jit, static_argnames=("gap_onset", "gap_extension"))
@@ -93,10 +98,9 @@ def qmax_batch(
     Returns: (B,) float32 max-cell scores (unnormalized, like the C kernel;
     callers divide by m_len + n_len as in `Serra09.py:174`).
     """
-    S, Sk, xs, B, M, N, m_len, n_len = _prep(S, m_len, n_len)
+    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
     i_idx = jnp.arange(M, dtype=jnp.int32)
     const_gap = gap_onset == gap_extension
-    z = jnp.zeros((B, M), jnp.float32)
 
     def gamma(sd):
         return jnp.where(sd > 0, gap_onset, gap_extension)
@@ -133,7 +137,7 @@ def qmax_batch(
         best = jnp.maximum(best, jnp.max(Dd, axis=-1))
         return (Dd, D1, D2, Gd, G1, G2, best), None
 
-    init = (z, z, z, z, z, z, jnp.zeros((B,), jnp.float32))
+    init = (z, z, z, z, z, z, best0)
     (_, _, _, _, _, _, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 3) & (n_len >= 3)
     return jnp.where(ok, best, 0.0)
@@ -152,9 +156,8 @@ def dmax_batch(
     Five predecessors; the (i-2,j-1)/(i-1,j-2)/(i-3,j-1)/(i-1,j-3) paths
     accumulate the intermediate S values they skip over.
     """
-    S, Sk, xs, B, M, N, m_len, n_len = _prep(S, m_len, n_len)
+    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
     i_idx = jnp.arange(M, dtype=jnp.int32)
-    z = jnp.zeros((B, M), jnp.float32)
 
     def gamma(sd):
         return jnp.where(sd > 0, gap_onset, gap_extension)
@@ -202,7 +205,7 @@ def dmax_batch(
         # Rotation: at the next step, G2 must be gamma(S diag d-1) = gamma(S1).
         return (Dd, D1, D2, D3, sd, S1, gamma(S1), G2, G3, best), None
 
-    init = (z, z, z, z, z, z, z, z, z, jnp.zeros((B,), jnp.float32))
+    init = (z, z, z, z, z, z, z, z, z, best0)
     (*_, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 4) & (n_len >= 4)
     return jnp.where(ok, best, 0.0)
@@ -228,9 +231,8 @@ def swconstrained_batch(
     Delta(prev, cur) = 0 if cur > 0 else (gap_opening if prev > 0
                                           else gap_extension)   (`:43-54`).
     """
-    S, Sk, xs, B, M, N, m_len, n_len = _prep(S, m_len, n_len)
+    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
     i_idx = jnp.arange(M, dtype=jnp.int32)
-    z = jnp.zeros((B, M), jnp.float32)
 
     def step(carry, x):
         # D2, D3: DP diagonals d-2, d-3. S2, S3: S diagonals d-2, d-3.
@@ -264,7 +266,7 @@ def swconstrained_batch(
         best = jnp.maximum(best, jnp.max(Dd, axis=-1))
         return (Dd, D1, D2, sd, S1, S2, best), None
 
-    init = (z, z, z, z, z, z, jnp.zeros((B,), jnp.float32))
+    init = (z, z, z, z, z, z, best0)
     (*_, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 3) & (n_len >= 3)
     return jnp.where(ok, best, 0.0)

@@ -1,0 +1,113 @@
+"""Sharding the N x N pair grid over a TPU mesh.
+
+The reference's "distributed backend" is joblib + SGE array jobs writing
+disjoint memmap cells / HDF5 batch files (`CoverAlgorithm.py:138-317`). The
+TPU-native analog is a 2D device mesh over the pair grid itself:
+
+  mesh axes ('rows', 'cols');  row-song descriptors sharded over 'rows'
+  (replicated over 'cols'), column-song descriptors sharded over 'cols'
+  (replicated over 'rows').
+
+Every device then owns an (N/r x N/c) block of pairs and computes it with
+ZERO communication — the outer-product structure of the pair sweep makes
+the sharding itself the whole distribution strategy (collectives are only
+needed to regather the score matrix, which XLA inserts when the host reads
+the output). This is the direct analog of `do_batch_subbatch`'s block
+arithmetic (`CoverAlgorithm.py:203-247`) with the filesystem replaced by
+ICI.
+
+Inside each device block, column tiles are processed under `lax.scan` so the
+per-step CRP working set stays bounded (VMEM/HBM friendly), mirroring the
+reference's sub-block traversal (`CoverAlgorithm.py:276-295`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_pair_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
+    """A 2D ('rows', 'cols') mesh over the pair grid.
+
+    With no arguments uses all local devices in an (r, c) grid with r <= c,
+    r * c = n_devices.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if shape is None:
+        r = int(np.floor(np.sqrt(n)))
+        while n % r:
+            r -= 1
+        shape = (r, n // r)
+    return Mesh(devices.reshape(shape), ("rows", "cols"))
+
+
+def _pad_desc_np(desc: dict, n_to: int) -> dict:
+    out = {}
+    for k, v in desc.items():
+        v = np.asarray(v)
+        pad = [(0, n_to - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    return out
+
+
+def sharded_pair_scores(
+    tile_scores_fn,
+    desc: dict,
+    n_songs: int,
+    mesh: Mesh,
+    col_tile: int = 8,
+) -> dict:
+    """Compute the full N x N score matrices over a device mesh.
+
+    Args:
+      tile_scores_fn: ``(row_desc, col_desc) -> {type: (bi, bj)}`` — an
+        algorithm's pure tile kernel (e.g. ``Serra09.tile_scores``).
+      desc: per-song descriptors, host arrays with leading dim n_songs.
+      mesh: from `make_pair_mesh`.
+      col_tile: column-tile width scanned inside each device block.
+
+    Returns {type: (N, N) np.float32} for the first n_songs rows/cols
+    (scores involving padding songs are garbage and are cropped; the
+    self-pair diagonal is NOT zeroed here — harness-level concern).
+    """
+    r, c = mesh.devices.shape
+    # Pad the song axis so both shardings and the col tiling divide evenly.
+    import math
+    quantum = math.lcm(r, c * col_tile)
+    n_pad = -(-n_songs // quantum) * quantum
+    desc = _pad_desc_np(desc, n_pad)
+
+    row_sharding = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("rows")), desc)
+    col_sharding = jax.tree.map(
+        lambda _: NamedSharding(mesh, P("cols")), desc)
+    row_desc = jax.device_put(desc, row_sharding)
+    col_desc = jax.device_put(desc, col_sharding)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("rows"), P("cols")),
+        out_specs=P("rows", "cols"),
+    )
+    def block(row_d, col_d):
+        nloc = jax.tree.leaves(col_d)[0].shape[0]
+        n_tiles = nloc // col_tile
+        tiles = jax.tree.map(
+            lambda v: v.reshape((n_tiles, col_tile) + v.shape[1:]), col_d)
+
+        def body(_, col_t):
+            return None, tile_scores_fn(row_d, col_t)
+
+        _, outs = jax.lax.scan(body, None, tiles)
+        # outs: {type: (n_tiles, n_rows_local, col_tile)}
+        return jax.tree.map(
+            lambda v: jnp.moveaxis(v, 0, 1).reshape(v.shape[1], -1), outs)
+
+    out = jax.jit(block)(row_desc, col_desc)
+    return {k: np.asarray(v)[:n_songs, :n_songs] for k, v in out.items()}

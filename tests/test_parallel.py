@@ -1,0 +1,33 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+pair sweep must agree with the single-device harness sweep."""
+
+import jax
+import numpy as np
+import pytest
+
+from acoss_tpu.benchmarking.algorithms import Serra09
+from acoss_tpu.benchmarking.harness import run_pairwise
+from acoss_tpu.data import make_synthetic_dataset
+from acoss_tpu.parallel import make_pair_mesh, sharded_pair_scores
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_matches_single_device(shape):
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2,
+                                n_distractors=2, seed=3)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=8)
+    mesh = make_pair_mesh(shape=shape)
+    D_sh = sharded_pair_scores(algo.tile_scores, desc, fs.n_songs, mesh,
+                               col_tile=4)
+    tril = np.tril_indices(fs.n_songs, -1)
+    for k in D_ref:
+        # Scores are orientation-dependent (OTI direction), so compare the
+        # strict lower triangle, which both paths compute as (row i, col j).
+        np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril], atol=1e-5)
