@@ -111,8 +111,8 @@ class Serra09(CoverAlgorithm):
         S = jnp.concatenate([Bc.reshape(-1, L, L), Bm.reshape(-1, L, L)])
         ml = jnp.tile(l1e.reshape(-1), 2)
         nl = jnp.tile(l2e.reshape(-1), 2)
-        q = alignment.qmax_batch(S, ml, nl)
-        d = alignment.dmax_batch(S, ml, nl)
+        q = alignment.qmax_batch_best(S, ml, nl)
+        d = alignment.dmax_batch_best(S, ml, nl)
         denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)
         q = (q / denom).reshape(2, bi, bj)
         d = (d / denom).reshape(2, bi, bj)

@@ -21,4 +21,6 @@ from acoss_tpu.ops.alignment import (  # noqa: F401
     qmax_batch,
     dmax_batch,
     swconstrained_batch,
+    qmax_batch_best,
+    dmax_batch_best,
 )

@@ -1,35 +1,33 @@
-"""Batched anti-diagonal wavefront alignment kernels (qmax / dmax / SW).
+"""Batched row-streaming alignment kernels (qmax / dmax / constrained SW).
 
 TPU-native re-design of the reference's C aligners
 (`/root/reference/benchmarking/SequenceAlignment.c:73-180`, exposed via the
-Cython module `pySeqAlign`, `pySeqAlign.pyx:7-23`). The C code fills an M x N
-dynamic-programming table cell-by-cell; here the table is computed one
-*anti-diagonal* at a time: every cell on diagonal d = i + j depends only on
-diagonals d-2..d-4, so a whole diagonal is one vector op, and a whole batch of
-song pairs is processed simultaneously (`lax.scan` over diagonals, batch and
-lane axes vectorized on the VPU).
+Cython module `pySeqAlign`, `pySeqAlign.pyx:7-23`). The C code fills an
+M x N dynamic-programming table cell-by-cell.
 
-Layout trick: the skew ("shear") of S into diagonal-major form is a pure
-pad + reshape — pad each row of S (M, N) with M zeros, view the flat buffer as
-(M, N + M - 1); then column d of that view is exactly anti-diagonal d of S,
-and every out-of-matrix entry provably lands in the zero padding. No gathers.
-
-Semantics parity notes (vs `SequenceAlignment.c`):
-- qmax   (`:113-143`): recurrence over preds (i-1,j-1),(i-2,j-1),(i-1,j-2);
-  match +1, else state-dependent gap penalty clamped at 0; loops start at
-  i,j >= 2; returns 0 when M < 3 or N < 3 (`:117`).
-- dmax   (`:147-180`): adds (i-3,j-1),(i-1,j-3) paths accumulating
-  intermediate S values; loops start at i,j >= 3; returns 0 when
-  M < 4 or N < 4 (`:151`).
-- swconstrained (`:73-99`): +-1 match score with affine Delta gaps
-  (opening -0.5, extension -0.7); the C code indexes a (N+1)x(M+1) D table,
-  which is equivalent to the 0-based recurrence implemented here; returns 0
-  when M < 3 or N < 3 (`:78`).
+Key structural observation: these recurrences have NO intra-row dependency —
+every predecessor of cell (i, j) lives in rows i-1, i-2 (and i-3 for dmax):
+    qmax:  (i-1,j-1), (i-2,j-1), (i-1,j-2)        (`:124-135`)
+    dmax:  + (i-3,j-1), (i-1,j-3)                  (`:158-172`)
+    sw:    (i-1,j-1), (i-2,j-1), (i-1,j-2)         (`:85-92`)
+so a whole row is ONE vector op over shifted previous rows, and a batch of
+pairs vectorizes on the (batch, column) axes. `lax.scan` runs over the M
+rows; an anti-diagonal wavefront (the classic Smith-Waterman GPU trick) is
+unnecessary here and would double the step count.
 
 Inputs are padded to static (M, N); per-pair true lengths are passed
 separately. S MUST be zero in the padding (guaranteed by
-`acoss_tpu.ops.crp.csm_to_binary`); padded cells then never raise the max,
-which is additionally restricted to in-bounds cells.
+`acoss_tpu.ops.crp.csm_to_binary`): padded cells then only ever decay
+values from valid cells and can never raise the running max.
+
+Semantics parity (vs `SequenceAlignment.c`):
+- qmax (`:113-143`): match +1 else state-dependent gap penalty clamped at
+  0; loops start at i,j >= 2; returns 0 when M < 3 or N < 3 (`:117`).
+- dmax (`:147-180`): the long paths accumulate the intermediate S values
+  they skip; loops start at i,j >= 3; returns 0 when M < 4 or N < 4.
+- swconstrained (`:73-99`): +-1 match with affine Delta gaps (opening -0.5,
+  extension -0.7); the C code's offset (N+1)x(M+1) table is equivalent to
+  the 0-based recurrence here; returns 0 when M < 3 or N < 3.
 """
 
 from __future__ import annotations
@@ -44,7 +42,8 @@ def skew(S: jax.Array) -> jax.Array:
     """Shear (..., M, N) -> (..., M + N - 1, M): column-major anti-diagonals.
 
     out[..., d, i] = S[..., i, d - i] when 0 <= d - i < N, else exactly 0.
-    Pure pad + reshape + transpose; no gathers.
+    Pure pad + reshape + transpose; no gathers. (Utility — the aligners
+    below stream rows instead and do not need it.)
     """
     *lead, M, N = S.shape
     P = jnp.pad(S, [(0, 0)] * len(lead) + [(0, 0), (0, M)])
@@ -55,7 +54,7 @@ def skew(S: jax.Array) -> jax.Array:
 
 
 def _shift(x: jax.Array, k: int) -> jax.Array:
-    """shift(x, k)[..., i] = x[..., i - k], zeros shifted in at the front."""
+    """shift(x, k)[..., j] = x[..., j - k], zeros shifted in at the front."""
     if k == 0:
         return x
     pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
@@ -69,14 +68,12 @@ def _prep(S, m_len, n_len):
     B, M, N = S.shape
     m_len = jnp.broadcast_to(jnp.asarray(m_len, jnp.int32), (B,))
     n_len = jnp.broadcast_to(jnp.asarray(n_len, jnp.int32), (B,))
-    Sk = skew(S)  # (B, M+N-1, M)
-    xs = (jnp.moveaxis(Sk, 1, 0), jnp.arange(M + N - 1, dtype=jnp.int32))
-    # Derive the zero carries from the inputs so they inherit any
-    # shard_map varying-manual-axes provenance (scan requires carry-in and
-    # carry-out types to match, including vma, under shard_map).
-    z = (S[:, :, 0] * 0).astype(jnp.float32)        # (B, M) zeros
-    best0 = z[:, 0]                                 # (B,)  zeros
-    return S, Sk, xs, B, M, N, m_len, n_len, z, best0
+    rows = jnp.moveaxis(S, 1, 0)  # (M, B, N) — scan consumes rows
+    xs = (rows, jnp.arange(M, dtype=jnp.int32))
+    # Derive the zero carries from the inputs so they inherit any shard_map
+    # varying-manual-axes provenance (scan carry types must match).
+    z = (S[:, 0, :] * 0).astype(jnp.float32)        # (B, N) zeros
+    return xs, B, M, N, m_len, n_len, z
 
 
 @functools.partial(jax.jit, static_argnames=("gap_onset", "gap_extension"))
@@ -98,47 +95,40 @@ def qmax_batch(
     Returns: (B,) float32 max-cell scores (unnormalized, like the C kernel;
     callers divide by m_len + n_len as in `Serra09.py:174`).
     """
-    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
-    i_idx = jnp.arange(M, dtype=jnp.int32)
+    xs, B, M, N, m_len, n_len, z = _prep(S, m_len, n_len)
     const_gap = gap_onset == gap_extension
-
-    def gamma(sd):
-        return jnp.where(sd > 0, gap_onset, gap_extension)
+    colmask = (jnp.arange(N) >= 2)[None, :] & (
+        jnp.arange(N)[None, :] < n_len[:, None])
 
     def step(carry, x):
-        # D1..D3 = diagonals d-1..d-3 of the DP table; G* = gamma(S) there.
-        D1, D2, D3, G1, G2, G3, best = carry
-        sd_raw, d = x
-        sd = sd_raw.astype(jnp.float32)
-        p1 = _shift(D2, 1)  # (i-1, j-1)
-        p2 = _shift(D3, 2)  # (i-2, j-1)
-        p3 = _shift(D3, 1)  # (i-1, j-2)
-        match = jnp.maximum(jnp.maximum(p1, p2), p3) + 1.0
+        # A = D row i-1, B2 = D row i-2; GA/GB = gamma(S) of those rows.
+        A, B2, GA, GB, best = carry
+        srow, i = x
+        sd = srow.astype(jnp.float32)
+        p1 = _shift(A, 1)    # (i-1, j-1)
+        p2 = _shift(B2, 1)   # (i-2, j-1)
+        p3 = _shift(A, 2)    # (i-1, j-2)
         if const_gap:
-            gap = jnp.maximum(
-                jnp.maximum(jnp.maximum(p1, p2), p3) - gap_extension, 0.0
-            )
+            pre = jnp.maximum(jnp.maximum(p1, p2), p3)
+            match = pre + 1.0
+            gap = jnp.maximum(pre - gap_extension, 0.0)
             Gd = z
         else:
-            g1 = _shift(G2, 1)
-            g2 = _shift(G3, 2)
-            g3 = _shift(G3, 1)
+            match = jnp.maximum(jnp.maximum(p1, p2), p3) + 1.0
             gap = jnp.maximum(
-                jnp.maximum(jnp.maximum(p1 - g1, p2 - g2), p3 - g3), 0.0
-            )
-            Gd = gamma(sd)
+                jnp.maximum(
+                    jnp.maximum(p1 - _shift(GA, 1), p2 - _shift(GB, 1)),
+                    p3 - _shift(GA, 2)),
+                0.0)
+            Gd = jnp.where(sd > 0, gap_onset, gap_extension)
         Dd = jnp.where(sd > 0, match, gap)
-        j = d - i_idx
-        band = (i_idx >= 2) & (j >= 2)
-        in_bounds = (i_idx[None, :] < m_len[:, None]) & (
-            (j >= 0)[None, :] & (j[None, :] < n_len[:, None])
-        )
-        Dd = jnp.where(band[None, :] & in_bounds, Dd, 0.0)
+        valid = colmask & ((i >= 2) & (i < m_len))[:, None]
+        Dd = jnp.where(valid, Dd, 0.0)
         best = jnp.maximum(best, jnp.max(Dd, axis=-1))
-        return (Dd, D1, D2, Gd, G1, G2, best), None
+        return (Dd, A, Gd, GA, best), None
 
-    init = (z, z, z, z, z, z, best0)
-    (_, _, _, _, _, _, best), _ = jax.lax.scan(step, init, xs)
+    init = (z, z, z, z, z[:, 0])
+    (*_, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 3) & (n_len >= 3)
     return jnp.where(ok, best, 0.0)
 
@@ -156,62 +146,48 @@ def dmax_batch(
     Five predecessors; the (i-2,j-1)/(i-1,j-2)/(i-3,j-1)/(i-1,j-3) paths
     accumulate the intermediate S values they skip over.
     """
-    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
-    i_idx = jnp.arange(M, dtype=jnp.int32)
+    xs, B, M, N, m_len, n_len, z = _prep(S, m_len, n_len)
 
-    def gamma(sd):
-        return jnp.where(sd > 0, gap_onset, gap_extension)
+    colmask = (jnp.arange(N) >= 3)[None, :] & (
+        jnp.arange(N)[None, :] < n_len[:, None])
+
+    def gamma(s):
+        return jnp.where(s > 0, gap_onset, gap_extension)
 
     def step(carry, x):
-        # D1..D4: DP diagonals d-1..d-4. S1, S2: S diagonals d-1, d-2.
-        # G2..G4: gamma(S) diagonals d-2..d-4.
-        D1, D2, D3, D4, S1, S2, G2, G3, G4, best = carry
-        sd_raw, d = x
-        sd = sd_raw.astype(jnp.float32)
-        # Intermediate S values skipped by the long paths:
-        sa = _shift(S1, 1)  # S[i-1, j]
-        sb = S1             # S[i,   j-1]
-        sc = _shift(S2, 2)  # S[i-2, j]
-        se = S2             # S[i,   j-2]
-        p1 = _shift(D2, 1)       # D[i-1, j-1]
-        p2 = _shift(D3, 2) + sa  # D[i-2, j-1] + S[i-1, j]
-        p3 = _shift(D3, 1) + sb  # D[i-1, j-2] + S[i, j-1]
-        p4 = _shift(D4, 3) + sc + sa  # D[i-3, j-1] + S[i-2, j] + S[i-1, j]
-        p5 = _shift(D4, 1) + se + sb  # D[i-1, j-3] + S[i, j-2] + S[i, j-1]
-        m5 = jnp.maximum(
-            jnp.maximum(jnp.maximum(p1, p2), p3), jnp.maximum(p4, p5)
-        )
+        # A/B2/B3 = D rows i-1, i-2, i-3; SA/SB/SC = S rows i-1, i-2, i-3.
+        A, B2, B3, SA, SB, SC, best = carry
+        srow, i = x
+        sd = srow.astype(jnp.float32)
+        p1 = _shift(A, 1)                      # D[i-1, j-1]
+        p2 = _shift(B2, 1) + SA                # D[i-2, j-1] + S[i-1, j]
+        p3 = _shift(A, 2) + _shift(sd, 1)      # D[i-1, j-2] + S[i, j-1]
+        p4 = _shift(B3, 1) + SB + SA           # D[i-3,j-1]+S[i-2,j]+S[i-1,j]
+        p5 = _shift(A, 3) + _shift(sd, 2) + _shift(sd, 1)
+        m5 = jnp.maximum(jnp.maximum(jnp.maximum(p1, p2), p3),
+                         jnp.maximum(p4, p5))
         match = m5 + 1.0
-        g1 = _shift(G2, 1)
-        g2 = _shift(G3, 2)
-        g3 = _shift(G3, 1)
-        g4 = _shift(G4, 3)
-        g5 = _shift(G4, 1)
         gap = jnp.maximum(
             jnp.maximum(
-                jnp.maximum(p1 - g1, p2 - g2),
-                jnp.maximum(p3 - g3, p4 - g4),
-            ),
-            jnp.maximum(p5 - g5, 0.0),
-        )
+                jnp.maximum(p1 - gamma(_shift(SA, 1)),
+                            p2 - gamma(_shift(SB, 1))),
+                jnp.maximum(p3 - gamma(_shift(SA, 2)),
+                            p4 - gamma(_shift(SC, 1)))),
+            jnp.maximum(p5 - gamma(_shift(SA, 3)), 0.0))
         Dd = jnp.where(sd > 0, match, gap)
-        j = d - i_idx
-        band = (i_idx >= 3) & (j >= 3)
-        in_bounds = (i_idx[None, :] < m_len[:, None]) & (
-            (j >= 0)[None, :] & (j[None, :] < n_len[:, None])
-        )
-        Dd = jnp.where(band[None, :] & in_bounds, Dd, 0.0)
+        valid = colmask & ((i >= 3) & (i < m_len))[:, None]
+        Dd = jnp.where(valid, Dd, 0.0)
         best = jnp.maximum(best, jnp.max(Dd, axis=-1))
-        # Rotation: at the next step, G2 must be gamma(S diag d-1) = gamma(S1).
-        return (Dd, D1, D2, D3, sd, S1, gamma(S1), G2, G3, best), None
+        return (Dd, A, B2, sd, SA, SB, best), None
 
-    init = (z, z, z, z, z, z, z, z, z, best0)
+    init = (z, z, z, z, z, z, z[:, 0])
     (*_, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 4) & (n_len >= 4)
     return jnp.where(ok, best, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("gap_opening", "gap_extension", "match_score", "mismatch_score"))
+@functools.partial(jax.jit, static_argnames=(
+    "gap_opening", "gap_extension", "match_score", "mismatch_score"))
 def swconstrained_batch(
     S: jax.Array,
     m_len: jax.Array,
@@ -231,42 +207,32 @@ def swconstrained_batch(
     Delta(prev, cur) = 0 if cur > 0 else (gap_opening if prev > 0
                                           else gap_extension)   (`:43-54`).
     """
-    S, Sk, xs, B, M, N, m_len, n_len, z, best0 = _prep(S, m_len, n_len)
-    i_idx = jnp.arange(M, dtype=jnp.int32)
+    xs, B, M, N, m_len, n_len, z = _prep(S, m_len, n_len)
+    colmask = (jnp.arange(N) >= 2)[None, :] & (
+        jnp.arange(N)[None, :] < n_len[:, None])
 
     def step(carry, x):
-        # D2, D3: DP diagonals d-2, d-3. S2, S3: S diagonals d-2, d-3.
-        D1, D2, D3, S1, S2, S3, best = carry
-        sd_raw, d = x
-        sd = sd_raw.astype(jnp.float32)
-        ms = jnp.where(sd > 0, match_score, mismatch_score)
-        # Delta depends on S at the predecessor cell and the current cell.
+        A, B2, SA, SB, best = carry
+        srow, i = x
+        sd = srow.astype(jnp.float32)
         cur_match = sd > 0
-        sp1 = _shift(S2, 1)  # S[a-1, b-1]
-        sp2 = _shift(S3, 2)  # S[a-2, b-1]
-        sp3 = _shift(S3, 1)  # S[a-1, b-2]
+        ms = jnp.where(cur_match, match_score, mismatch_score)
 
         def delta(sprev):
             return jnp.where(
-                cur_match,
-                0.0,
-                jnp.where(sprev > 0, gap_opening, gap_extension),
-            )
+                cur_match, 0.0,
+                jnp.where(sprev > 0, gap_opening, gap_extension))
 
-        d1 = _shift(D2, 1) + ms + delta(sp1)
-        d2 = _shift(D3, 2) + ms + delta(sp2)
-        d3 = _shift(D3, 1) + ms + delta(sp3)
+        d1 = _shift(A, 1) + ms + delta(_shift(SA, 1))
+        d2 = _shift(B2, 1) + ms + delta(_shift(SB, 1))
+        d3 = _shift(A, 2) + ms + delta(_shift(SA, 2))
         Dd = jnp.maximum(jnp.maximum(jnp.maximum(d1, d2), d3), 0.0)
-        j = d - i_idx
-        band = (i_idx >= 2) & (j >= 2)
-        in_bounds = (i_idx[None, :] < m_len[:, None]) & (
-            (j >= 0)[None, :] & (j[None, :] < n_len[:, None])
-        )
-        Dd = jnp.where(band[None, :] & in_bounds, Dd, 0.0)
+        valid = colmask & ((i >= 2) & (i < m_len))[:, None]
+        Dd = jnp.where(valid, Dd, 0.0)
         best = jnp.maximum(best, jnp.max(Dd, axis=-1))
-        return (Dd, D1, D2, sd, S1, S2, best), None
+        return (Dd, A, sd, SA, best), None
 
-    init = (z, z, z, z, z, z, best0)
+    init = (z, z, z, z, z[:, 0])
     (*_, best), _ = jax.lax.scan(step, init, xs)
     ok = (m_len >= 3) & (n_len >= 3)
     return jnp.where(ok, best, 0.0)
@@ -289,3 +255,31 @@ dmax = _single(dmax_batch)
 dmax.__doc__ = "Single-pair dmax; see `dmax_batch`."
 swconstrained = _single(swconstrained_batch)
 swconstrained.__doc__ = "Single-pair constrained SW; see `swconstrained_batch`."
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def qmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
+                    gap_extension: float = 0.5):
+    """qmax with the fastest available implementation: the Pallas
+    row-streaming kernel on TPU (const-gap case), else the XLA scan."""
+    if gap_onset == gap_extension and _on_tpu():
+        from acoss_tpu.ops import alignment_pallas
+        return alignment_pallas.qmax_batch_pallas(
+            S, m_len, n_len, gap=gap_onset)
+    return qmax_batch(S, m_len, n_len, gap_onset=gap_onset,
+                      gap_extension=gap_extension)
+
+
+def dmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
+                    gap_extension: float = 0.5):
+    """dmax with the fastest available implementation (see
+    `qmax_batch_best`)."""
+    if gap_onset == gap_extension and _on_tpu():
+        from acoss_tpu.ops import alignment_pallas
+        return alignment_pallas.dmax_batch_pallas(
+            S, m_len, n_len, gap=gap_onset)
+    return dmax_batch(S, m_len, n_len, gap_onset=gap_onset,
+                      gap_extension=gap_extension)

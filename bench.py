@@ -12,10 +12,16 @@ this same process on the same CRP workload. BASELINE.md target: >= 50x.
 Workload: covers80-scale binary CRPs — L = 512 padded frames (a ~3.5-minute
 song at hop 512 downsampled x40 gives ~430 frames), kappa = 0.095 mutual-kNN
 density, ragged lengths drawn from [320, 512].
+
+Timing protocol: this environment reaches the TPU through a tunnel with
+~30 ms RTT per dispatch and it caches identical executions, so the kernel
+is timed AMORTIZED: one jitted call runs the aligner over `NITER` distinct
+on-device-generated input variants (lax.scan over rolled batches); per-call
+time = (T(NITER) - T(1)) / (NITER - 1), which cancels the RTT and any fixed
+dispatch overhead.
 """
 
 import json
-import os
 import sys
 import time
 
@@ -25,6 +31,7 @@ L = 512            # padded CRP side
 BATCH = 512        # pairs per device call
 CPU_PAIRS = 12     # pairs timed for the CPU baseline
 KAPPA = 0.095
+NITER = 9
 
 
 def make_crps(rng, batch, L):
@@ -34,10 +41,7 @@ def make_crps(rng, batch, L):
     S = np.zeros((batch, L, L), dtype=np.uint8)
     for b in range(batch):
         m, n = m_len[b], n_len[b]
-        # roughly kappa-fraction of entries on, band-structured like a CRP
-        density = KAPPA
-        Sb = (rng.random((m, n)) < density).astype(np.uint8)
-        S[b, :m, :n] = Sb
+        S[b, :m, :n] = (rng.random((m, n)) < KAPPA).astype(np.uint8)
     return S, m_len, n_len
 
 
@@ -54,31 +58,42 @@ def main():
     cpu_time = time.perf_counter() - t0
     cpu_pps = CPU_PAIRS / cpu_time
 
-    # --- TPU: batched wavefront qmax.
+    # --- TPU: Pallas row-streaming qmax, amortized timing.
     import jax
-    from acoss_tpu.ops.alignment import qmax_batch
+    import jax.numpy as jnp
 
-    # Timing protocol: the tunneled device caches identical executions and
-    # its block_until_ready is unreliable, so every timed call gets DISTINCT
-    # input buffers and the timed region includes a host read of the result.
-    n_iters = 3
-    variants = [jax.device_put(np.roll(S, k, axis=0))
-                for k in range(n_iters + 1)]
-    ml = jax.device_put(m_len)
-    nl = jax.device_put(n_len)
-    _ = np.asarray(qmax_batch(variants[0], ml, nl))  # compile + warm
-    t0 = time.perf_counter()
-    for k in range(1, n_iters + 1):
-        out = qmax_batch(variants[k], ml, nl)
-        _ = np.asarray(out)
-    tpu_time = (time.perf_counter() - t0) / n_iters
+    from acoss_tpu.ops.alignment import qmax_batch_best
+
+    def amortized(niter):
+        @jax.jit
+        def many(S, ml, nl):
+            def body(c, k):
+                Sk = jnp.roll(S, k, axis=0)  # distinct input per iteration
+                return c + jnp.sum(qmax_batch_best(Sk, ml, nl)), None
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(niter))
+            return c
+        return many
+
+    Sd, ml, nl = jax.device_put((S, m_len, n_len))
+    f1, fn = amortized(1), amortized(NITER)
+    _ = float(f1(Sd, ml, nl))
+    _ = float(fn(Sd, ml, nl))
+    t1s, tns = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(f1(Sd, ml, nl))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(fn(Sd, ml, nl))
+        tns.append(time.perf_counter() - t0)
+    tpu_time = (min(tns) - min(t1s)) / (NITER - 1)
     tpu_pps = BATCH / tpu_time
-    out = qmax_batch(jax.device_put(S), ml, nl)
 
     # Sanity: TPU and CPU agree on the scored pairs.
+    out = np.asarray(qmax_batch_best(Sd, ml, nl))
     cpu_scores = np.array([
         native.qmax_cpu(S[b, :m_len[b], :n_len[b]]) for b in range(4)])
-    np.testing.assert_allclose(np.asarray(out)[:4], cpu_scores, atol=1e-3)
+    np.testing.assert_allclose(out[:4], cpu_scores, atol=1e-3)
 
     result = {
         "metric": "qmax_pairs_per_sec_per_chip",
