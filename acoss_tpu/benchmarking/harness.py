@@ -54,6 +54,12 @@ class CoverAlgorithm:
 
     full_scores = None  # optional override
 
+    def post_process(self, Ds: dict, desc: dict) -> dict:
+        """Optional hook applied to the full score matrices after the
+        sweep (the analog of ChenFusion's normalize_by_length +
+        do_late_fusion post-passes, `ChenFusion.py:71-85`)."""
+        return Ds
+
 
 def _slice_desc(desc: dict, lo: int, hi: int) -> dict:
     return {k: v[lo:hi] for k, v in desc.items()}
@@ -176,6 +182,7 @@ def benchmark(
     desc = algorithm.extract_descriptors(fs)
     Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
                       checkpoint_path=checkpoint_path, verbose=verbose)
+    Ds = algorithm.post_process(Ds, desc)
     out = {}
     for k, D in Ds.items():
         S = -D if k in algorithm.DISTANCE_TYPES else D

@@ -1,0 +1,206 @@
+"""Similarity Network Fusion (SNF) as dense batched XLA ops.
+
+TPU-native re-design of the reference's SNF library
+(`/root/reference/benchmarking/SimilarityFusion.py:50-287`, after Wang et
+al. 2012/2014 and Tralie et al. ICASSP 2019). The reference uses
+scipy.sparse row-kNN matrices; here every matrix stays dense (P is a few
+hundred to a few thousand square) so the cross-diffusion iterations
+`P_i <- S_i . mean(P_k, k != i) . S_i^T` are straight MXU matmuls, batched
+over song pairs with `vmap`.
+
+kNN selections use rank thresholds (k-th order statistic per row) instead
+of `np.argpartition`; identical up to ties, and `k` may be a traced value
+(EarlySNF's K = kappa * (M + N) depends on per-pair lengths).
+
+Padding convention: a `length` argument marks the valid prefix; padded
+rows/cols are excluded from neighbor statistics and forced to W = 0, which
+propagates as exact zeros through get_P / get_S / diffusion (zero rows are
+row-normalized by 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e30
+
+
+def _kth_smallest(D: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-row k-th smallest value (1-indexed), k may be traced. (M, 1)."""
+    M, N = D.shape
+    srt = jnp.sort(D, axis=1)
+    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, N)
+    return jnp.take_along_axis(srt, kk[:, None] - 1, axis=1)
+
+
+def _mean_k_smallest(D: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-row mean of the k smallest values, k possibly traced. (M,)."""
+    M, N = D.shape
+    srt = jnp.sort(D, axis=1)
+    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, N)
+    csum = jnp.cumsum(srt, axis=1)
+    tot = jnp.take_along_axis(csum, kk[:, None] - 1, axis=1)[:, 0]
+    return tot / kk.astype(D.dtype)
+
+
+def get_W(D: jax.Array, K, Mu: float = 0.5,
+          length: jax.Array | None = None) -> jax.Array:
+    """Adaptive-bandwidth Gaussian affinity from a self-dissimilarity matrix.
+
+    Parity: `SimilarityFusion.py:50-71` (Eq. 1 of the SNF paper): symmetrize,
+    zero diagonal, estimate per-point radius as the mean of the K+1 smallest
+    row entries (scaled by (K+1)/K to exclude the diagonal zero),
+    W = exp(-D^2 / (2 (Mu * (r_i + r_j + D_ij) / 3)^2)).
+    """
+    n = D.shape[0]
+    DSym = 0.5 * (D + D.T)
+    DSym = DSym * (1.0 - jnp.eye(n, dtype=D.dtype))
+    K = jnp.asarray(K, jnp.int32)
+    if length is not None:
+        valid = jnp.arange(n) < length
+        Dknn = jnp.where(valid[None, :], DSym, _BIG)
+    else:
+        valid = None
+        Dknn = DSym
+    mean_dist = _mean_k_smallest(Dknn, K + 1) * (K + 1) / jnp.maximum(K, 1)
+    eps = (mean_dist[:, None] + mean_dist[None, :] + DSym) / 3.0
+    denom = 2.0 * (Mu * eps) ** 2
+    denom = jnp.where(denom == 0, 1.0, denom)
+    W = jnp.exp(-DSym ** 2 / denom)
+    if valid is not None:
+        W = W * (valid[:, None] & valid[None, :])
+    return W
+
+
+def get_WCSM(CSMAB: jax.Array, k1, k2, Mu: float = 0.5,
+             row_length: jax.Array | None = None,
+             col_length: jax.Array | None = None) -> jax.Array:
+    """Exponential affinity for a CROSS-dissimilarity matrix.
+
+    Parity: `SimilarityFusion.py:74-89`: row radius = mean of k2 smallest in
+    the row; column radius = mean of k1 smallest in the column.
+    """
+    M, N = CSMAB.shape
+    C = CSMAB
+    if col_length is not None:
+        C = jnp.where(jnp.arange(N)[None, :] < col_length, C, _BIG)
+    if row_length is not None:
+        C = jnp.where(jnp.arange(M)[:, None] < row_length, C, _BIG)
+    m1 = _mean_k_smallest(C, jnp.asarray(k2, jnp.int32))        # rows
+    m2 = _mean_k_smallest(C.T, jnp.asarray(k1, jnp.int32))      # cols
+    eps = (m1[:, None] + m2[None, :] + CSMAB) / 3.0
+    W = jnp.exp(-CSMAB ** 2 / (2.0 * (Mu * eps) ** 2))
+    if row_length is not None:
+        W = W * (jnp.arange(M)[:, None] < row_length)
+    if col_length is not None:
+        W = W * (jnp.arange(N)[None, :] < col_length)
+    return W
+
+
+def setup_WCSMSSM(WSSMA, WSSMB, WCSMAB):
+    """Assemble [[WSSMA, WCSMAB], [WCSMAB^T, WSSMB]]
+    (`SimilarityFusion.py:91-108`)."""
+    top = jnp.concatenate([WSSMA, WCSMAB], axis=1)
+    bot = jnp.concatenate([WCSMAB.T, WSSMB], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def get_WCSMSSM(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
+                m_len=None, n_len=None):
+    """Cross-affinity parent matrix with the neighbor budget split
+    proportionally between the SSM and CSM parts of each row.
+
+    Parity: `SimilarityFusion.py:110-132`:
+      k1 = K * M / (M + N); k2 = K - k1  (true lengths when padded).
+    Padded layout: A occupies [0:Lp), B occupies [Lp:2Lp) (real prefix of
+    each), so the fused cross block is always at [0:Lp, Lp:2Lp).
+    """
+    M = SSMA.shape[0]
+    N = SSMB.shape[0]
+    m = jnp.asarray(M if m_len is None else m_len, jnp.int32)
+    n = jnp.asarray(N if n_len is None else n_len, jnp.int32)
+    K = jnp.asarray(K, jnp.int32)
+    k1 = (K * m) // jnp.maximum(m + n, 1)
+    k2 = K - k1
+    WSSMA = get_W(SSMA, k1, Mu, length=None if m_len is None else m)
+    WSSMB = get_W(SSMB, k2, Mu, length=None if n_len is None else n)
+    WCSMAB = get_WCSM(CSMAB, k1, k2, Mu,
+                      None if m_len is None else m,
+                      None if n_len is None else n)
+    return setup_WCSMSSM(WSSMA, WSSMB, WCSMAB)
+
+
+def get_P(W: jax.Array, reg_diag: bool = False) -> jax.Array:
+    """Row-stochastic matrix; optional 0.5 I + 0.5 P(off-diag) diagonal
+    regularization (`SimilarityFusion.py:134-155`)."""
+    n = W.shape[0]
+    if reg_diag:
+        WNoDiag = W * (1.0 - jnp.eye(n, dtype=W.dtype))
+        row = jnp.sum(WNoDiag, axis=1)
+        row = jnp.where(row == 0, 1.0, row)
+        return 0.5 * jnp.eye(n, dtype=W.dtype) + 0.5 * WNoDiag / row[:, None]
+    row = jnp.sum(W, axis=1)
+    row = jnp.where(row == 0, 1.0, row)
+    return W / row[:, None]
+
+
+def get_S(W: jax.Array, K) -> jax.Array:
+    """Row-kNN-truncated, L1-row-normalized version of W (kept dense — the
+    MXU prefers a dense masked matmul over sparse ops).
+
+    Parity: `SimilarityFusion.py:157-177` (neighbors include the element
+    itself); kNN by rank threshold (ties may keep a few extra entries).
+    """
+    n = W.shape[0]
+    K = jnp.asarray(K, jnp.int32)
+    thresh = -_kth_smallest(-W, K)          # k-th LARGEST per row
+    mask = W >= thresh
+    V = jnp.where(mask, W, 0.0)
+    norm = jnp.sum(V, axis=1)
+    norm = jnp.where(norm == 0, 1.0, norm)
+    return V / norm[:, None]
+
+
+def snf_ws(Ws: jax.Array, K, niters: int = 20,
+           reg_diag: bool = True) -> jax.Array:
+    """Cross-diffusion of a stack of affinity matrices.
+
+    Parity: `SimilarityFusion.py:202-277`:
+      P_i <- S_i . mean(P_k, k != i) . S_i^T  for `niters` iterations,
+      then average. With reg_diag, each iterate is re-regularized as
+      0.5 I + 0.5 rownorm(offdiag).
+
+    Args:
+      Ws: (F, n, n) stacked affinity matrices.
+      K: neighbors for the S truncation (may be traced).
+    Returns: fused (n, n) similarity matrix.
+    """
+    Ws = jnp.asarray(Ws)
+    F = Ws.shape[0]
+    Ps = jax.vmap(lambda W: get_P(W, reg_diag))(Ws)
+    Ss = jax.vmap(lambda W: get_S(W, K))(Ws)
+
+    def body(Ps, _):
+        mean_others = (jnp.sum(Ps, axis=0)[None] - Ps) / max(F - 1, 1)
+        nxt = jnp.einsum("fij,fjk,flk->fil", Ss, mean_others, Ss,
+                         precision="highest")
+        if reg_diag:
+            nxt = jax.vmap(lambda P: get_P(P, True))(nxt)
+        return nxt, None
+
+    Ps, _ = jax.lax.scan(body, Ps, None, length=niters)
+    return jnp.mean(Ps, axis=0)
+
+
+def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True):
+    """Full SNF from a stack of DISTANCE matrices
+    (`SimilarityFusion.py:279-287`): W each, then cross-diffuse.
+
+    Returns (Ws, fused similarity matrix).
+    """
+    Ds = jnp.asarray(Ds)
+    Ws = jax.vmap(lambda D: get_W(D, K))(Ds)
+    return Ws, snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag)

@@ -42,3 +42,28 @@ def uniform_downsample(X: np.ndarray, fac: int,
     reference's `librosa.util.sync(X.T, np.arange(0, L, fac), ...)`
     (`Serra09.py:104`)."""
     return sync_agg(X, np.arange(0, X.shape[0], fac), aggregate)
+
+
+def stack_memory(X: np.ndarray, n_steps: int, delay: int = 1) -> np.ndarray:
+    """History (delay) embedding with zero padding, frames-first.
+
+    librosa.feature.stack_memory semantics transposed: X (t, d) ->
+    (t, d * n_steps) where column block k is X delayed by k * delay frames
+    (zeros shifted in at the start), matching the layout
+    `get_csm_blocked_oti` expects (block-major feature axis).
+
+    NOTE: the reference calls `stack_memory(chroma, self.tau, self.m)`
+    (`ChenFusion.py:53`) which binds n_steps=tau=1, delay=m=9 — an
+    effective no-op (the intended call is n_steps=m, delay=tau, the Chen
+    2017 delay embedding). We implement the intended embedding; pass
+    n_steps=1 to reproduce the reference's literal behavior.
+    """
+    t, d = X.shape
+    blocks = []
+    for k in range(n_steps):
+        s = k * delay
+        blk = np.zeros_like(X)
+        if s < t:
+            blk[s:] = X[:t - s]
+        blocks.append(blk)
+    return np.concatenate(blocks, axis=1)

@@ -74,3 +74,13 @@ def test_ftm2d_patches_match_loop_oracle(rng):
         F = np.fft.fft2(bt[:, i:i + win])
         want = np.fft.fftshift(np.abs(F)).flatten()
         np.testing.assert_allclose(got[i], want, atol=1e-3)
+
+
+def test_chen_fusion_e2e(dataset):
+    from acoss_tpu.benchmarking.algorithms.chen_fusion import ChenFusion
+    algo = ChenFusion(chroma_type="hpcp", downsample_fac=4,
+                      late_K=10, late_niters=5)
+    stats = benchmark(algo, dataset)
+    assert stats["qmax"].map > 0.5
+    assert stats["dmax"].map > 0.5
+    assert stats["Late"].map > 0.5
