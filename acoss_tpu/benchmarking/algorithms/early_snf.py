@@ -1,0 +1,104 @@
+"""EarlySNF: per-pair early similarity-network fusion + qmax/dmax.
+
+Parity target: `/root/reference/benchmarking/EarlySNF.py:12-97` (extends
+Serra09): per pair, build the joint [[W_SSMA, W_CSM], [W_CSM^T, W_SSMB]]
+affinity (`get_WCSMSSM`) for the chroma sliding-CSM features and for the
+MFCC block-SSM-scattering features, cross-diffuse them (`snf_ws`, K =
+kappa * (M + N), niters = 3, reg_diag), negate the fused cross block,
+mutual-kNN binarize and run qmax/dmax — while also emitting all the plain
+Serra09 similarity types en route (`EarlySNF.py:44-97`).
+
+TPU design: the whole per-pair fusion (W construction + 3 diffusion
+iterations of dense (M+N)^2 matmuls) is vmapped over the tile's pairs —
+pure MXU work. Padded layout puts song A's rows at [0:Lp) and song B's at
+[Lp:2Lp), so the fused cross block is a static slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acoss_tpu.benchmarking.algorithms.serra09 import Serra09
+from acoss_tpu.ops import alignment, crp, fusion
+
+
+class EarlySNF(Serra09):
+    NAME = "EarlySNF"
+    TILE = 4
+
+    def __init__(self, chroma_type: str = "hpcp", oti: bool = True,
+                 kappa: float = 0.095, m: int = 9,
+                 downsample_fac: int = 40, pad_to_multiple: int = 64,
+                 snf_niters: int = 3, do_ssms: bool = True,
+                 ssm_win_mul: int = 2, ssm_res: int = 64):
+        super().__init__(chroma_type=chroma_type, oti=oti, kappa=kappa,
+                         m=m, downsample_fac=downsample_fac,
+                         pad_to_multiple=pad_to_multiple, do_ssms=do_ssms,
+                         ssm_win_mul=ssm_win_mul, ssm_res=ssm_res)
+        self.snf_niters = snf_niters
+        self.SIMILARITY_TYPES = self.SIMILARITY_TYPES + (
+            "snf_qmax", "snf_dmax")
+
+    def _pair_ws(self, r, c):
+        """Joint WCSMSSM affinities + binary CRPs for one padded pair."""
+        m = self.m
+        if self.oti:
+            oti = crp.get_oti(r["gchroma"], c["gchroma"])
+            ch1 = crp.transpose_chroma(r["chroma"], oti)
+        else:
+            ch1 = r["chroma"]
+        l1e = r["length"] - m + 1
+        l2e = c["length"] - m + 1
+        K = (self.kappa * (l1e + l2e)).astype(jnp.int32)
+
+        csm_c = crp.sliding_csm_padded(crp.get_csm(ch1, c["chroma"]), m)
+        ssma_c = crp.sliding_csm_padded(crp.get_csm(ch1, ch1), m)
+        ssmb_c = crp.sliding_csm_padded(
+            crp.get_csm(c["chroma"], c["chroma"]), m)
+        Ws = [fusion.get_WCSMSSM(ssma_c, ssmb_c, csm_c, K,
+                                 m_len=l1e, n_len=l2e)]
+        if self.do_ssms:
+            csm_s = crp.get_csm(r["ssms"], c["ssms"])
+            ssma_s = crp.get_ssm(r["ssms"])
+            ssmb_s = crp.get_ssm(c["ssms"])
+            Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
+                                         m_len=l1e, n_len=l2e))
+        fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
+                              reg_diag=True)
+        Lp = csm_c.shape[0]
+        cross = -fused[:Lp, Lp:]   # similarity -> "distance" for binarize
+        Bsnf = crp.csm_to_binary_mutual(cross, self.kappa, l1e, l2e)
+
+        # plain Serra09 CRPs "while we're at it" (`EarlySNF.py:60-83`)
+        crps = [crp.csm_to_binary_mutual(csm_c, self.kappa, l1e, l2e)]
+        csm_m = crp.sliding_csm_padded(
+            crp.get_csm(r["mfcc"], c["mfcc"]), m)
+        crps.append(crp.csm_to_binary_mutual(csm_m, self.kappa, l1e, l2e))
+        if self.do_ssms:
+            crps.append(crp.csm_to_binary_mutual(csm_s, self.kappa,
+                                                 l1e, l2e))
+        crps.append(Bsnf)
+        return tuple(crps), l1e, l2e
+
+    def tile_scores(self, row: dict, col: dict) -> dict:
+        pair = jax.vmap(jax.vmap(self._pair_ws, in_axes=(None, 0)),
+                        in_axes=(0, None))
+        Bs, l1e, l2e = pair(row, col)
+        nf = len(Bs)
+        bi, bj, L, _ = Bs[0].shape
+        S = jnp.concatenate([B.reshape(-1, L, L) for B in Bs])
+        ml = jnp.tile(l1e.reshape(-1), nf)
+        nl = jnp.tile(l2e.reshape(-1), nf)
+        q = alignment.qmax_batch_best(S, ml, nl)
+        d = alignment.dmax_batch_best(S, ml, nl)
+        denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)
+        q = (q / denom).reshape(nf, bi, bj)
+        d = (d / denom).reshape(nf, bi, bj)
+        names = ["chroma", "mfcc"] + (["ssms_scatter"] if self.do_ssms
+                                      else []) + ["snf"]
+        out = {}
+        for k, name in enumerate(names):
+            out[f"{name}_qmax"] = q[k]
+            out[f"{name}_dmax"] = d[k]
+        return out

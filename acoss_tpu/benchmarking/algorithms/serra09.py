@@ -14,9 +14,11 @@ on the MXU, top-k binarization on the VPU) and runs ONE batched wavefront
 qmax/dmax scan over the 2 x bi x bj stacked CRPs (chroma + mfcc share the
 alignment batch).
 
-The ssms_scatter_{qmax,dmax} similarity types (MFCC block-SSM 2D-scattering
-descriptors, `Serra09.py:30-71`) are added by `acoss_tpu.ops.scattering`;
-enable with `do_ssms=True` once descriptors are available.
+The ssms_scatter_{qmax,dmax} similarity types use the MFCC block-SSM
+2D-scattering descriptors of `Serra09.py:30-71` (see
+`acoss_tpu.ops.ssm_features`); they are heavy (20736-dim per block), so
+`do_ssms` defaults to False here — EarlySNF and reference-parity runs
+enable it.
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
 from acoss_tpu.ops import alignment, crp
 from acoss_tpu.ops.segment import uniform_downsample
+from acoss_tpu.ops.ssm_features import (get_ssm_scatter_sequence,
+                                        length_match, scatter_dim)
 
 
 def global_chroma(chroma: np.ndarray) -> np.ndarray:
@@ -41,23 +45,32 @@ def global_chroma(chroma: np.ndarray) -> np.ndarray:
 
 class Serra09(CoverAlgorithm):
     NAME = "Serra09"
-    SIMILARITY_TYPES = ("chroma_qmax", "chroma_dmax",
-                        "mfcc_qmax", "mfcc_dmax")
     SYMMETRIC = True
     TILE = 8
 
     def __init__(self, chroma_type: str = "hpcp", oti: bool = True,
                  kappa: float = 0.095, m: int = 9,
-                 downsample_fac: int = 40, pad_to_multiple: int = 64):
+                 downsample_fac: int = 40, pad_to_multiple: int = 64,
+                 do_ssms: bool = False, ssm_win_mul: int = 2,
+                 ssm_res: int = 64):
         self.chroma_type = chroma_type
         self.oti = oti
         self.kappa = kappa
         self.m = m
         self.downsample_fac = downsample_fac
         self.pad_to_multiple = pad_to_multiple
+        self.do_ssms = do_ssms
+        self.ssm_win_mul = ssm_win_mul
+        self.ssm_res = ssm_res
+        self.SIMILARITY_TYPES = ("chroma_qmax", "chroma_dmax",
+                                 "mfcc_qmax", "mfcc_dmax")
+        if do_ssms:
+            self.SIMILARITY_TYPES += ("ssms_scatter_qmax",
+                                      "ssms_scatter_dmax")
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        chromas, mfccs, gchromas = [], [], []
+        chromas, mfccs, gchromas, ssms = [], [], [], []
+        sdim = scatter_dim(self.ssm_res)
         clen = fs.length(self.chroma_type)
         mlen = fs.length("mfcc_htk")
         for i in range(fs.n_songs):
@@ -70,17 +83,27 @@ class Serra09(CoverAlgorithm):
             n = min(ch_ds.shape[0], mf_ds.shape[0])
             chromas.append(ch_ds[:n].astype(np.float32))
             mfccs.append(mf_ds[:n].astype(np.float32))
+            if self.do_ssms:
+                # sequence of scattered MFCC block-SSMs, length-matched to
+                # M = n - m + 1 (`Serra09.py:126,146-152`)
+                seq = get_ssm_scatter_sequence(
+                    mf[:n * self.downsample_fac], self.downsample_fac,
+                    self.m * self.ssm_win_mul, self.ssm_res)
+                ssms.append(length_match(seq, max(n - self.m + 1, 1), sdim))
         # Pad to a lane-friendly multiple for the wavefront kernels.
         Lmax = max(c.shape[0] for c in chromas)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
         chroma_arr, lengths = pad_stack(chromas, pad_to)
         mfcc_arr, _ = pad_stack(mfccs, pad_to)
-        return {
+        desc = {
             "chroma": chroma_arr,
             "mfcc": mfcc_arr,
             "gchroma": np.stack(gchromas).astype(np.float32),
             "length": lengths.astype(np.int32),
         }
+        if self.do_ssms:
+            desc["ssms"], _ = pad_stack(ssms, pad_to)
+        return desc
 
     def _pair_crps(self, r, c):
         """Binary CRPs (chroma + mfcc) for ONE pair of padded songs."""
@@ -101,22 +124,33 @@ class Serra09(CoverAlgorithm):
 
         Bc = make(ch1, c["chroma"], True)
         Bm = make(r["mfcc"], c["mfcc"], True)
-        return Bc, Bm, l1e, l2e
+        if self.do_ssms:
+            # ssms rows are already length-matched to M = n - m + 1, so the
+            # effective lengths are the same l1e/l2e; no sliding CSM
+            # (`Serra09.py:188-195`).
+            Bs = make(r["ssms"], c["ssms"], False)
+            return (Bc, Bm, Bs), l1e, l2e
+        return (Bc, Bm), l1e, l2e
 
     def tile_scores(self, row: dict, col: dict) -> dict:
         pair = jax.vmap(jax.vmap(self._pair_crps, in_axes=(None, 0)),
                         in_axes=(0, None))
-        Bc, Bm, l1e, l2e = pair(row, col)
-        bi, bj, L, _ = Bc.shape
-        S = jnp.concatenate([Bc.reshape(-1, L, L), Bm.reshape(-1, L, L)])
-        ml = jnp.tile(l1e.reshape(-1), 2)
-        nl = jnp.tile(l2e.reshape(-1), 2)
+        Bs, l1e, l2e = pair(row, col)
+        nf = len(Bs)
+        bi, bj, L, _ = Bs[0].shape
+        S = jnp.concatenate([B.reshape(-1, L, L) for B in Bs])
+        ml = jnp.tile(l1e.reshape(-1), nf)
+        nl = jnp.tile(l2e.reshape(-1), nf)
         q = alignment.qmax_batch_best(S, ml, nl)
         d = alignment.dmax_batch_best(S, ml, nl)
         denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)
-        q = (q / denom).reshape(2, bi, bj)
-        d = (d / denom).reshape(2, bi, bj)
-        return {
+        q = (q / denom).reshape(nf, bi, bj)
+        d = (d / denom).reshape(nf, bi, bj)
+        out = {
             "chroma_qmax": q[0], "chroma_dmax": d[0],
             "mfcc_qmax": q[1], "mfcc_dmax": d[1],
         }
+        if self.do_ssms:
+            out["ssms_scatter_qmax"] = q[2]
+            out["ssms_scatter_dmax"] = d[2]
+        return out

@@ -84,3 +84,22 @@ def test_chen_fusion_e2e(dataset):
     assert stats["qmax"].map > 0.5
     assert stats["dmax"].map > 0.5
     assert stats["Late"].map > 0.5
+
+
+def test_serra09_ssms_e2e(dataset):
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4, do_ssms=True)
+    stats = benchmark(algo, dataset)
+    assert stats["chroma_qmax"].map > 0.6
+    assert "ssms_scatter_qmax" in stats
+    # mfcc-SSM-scattering channel: planted timbre structure should beat
+    # chance (1/19) clearly
+    assert stats["ssms_scatter_qmax"].map > 0.15
+
+
+def test_early_snf_e2e(dataset):
+    from acoss_tpu.benchmarking.algorithms.early_snf import EarlySNF
+    algo = EarlySNF(chroma_type="hpcp", downsample_fac=4)
+    stats = benchmark(algo, dataset)
+    assert stats["chroma_qmax"].map > 0.6
+    assert stats["snf_qmax"].map > 0.4
+    assert stats["snf_dmax"].map > 0.4
