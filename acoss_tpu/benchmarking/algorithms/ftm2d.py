@@ -8,8 +8,16 @@ pair similarity exp(-||s1 - s2||^2) (`FTM2D.py:126-129`).
 TPU design: the descriptor is fixed-size (900,), so the whole N x N sweep
 collapses to ONE Gram matmul (`full_scores`), the same trick the reference
 only applied in StrucFTM2D (`StrucFTM2D.py:173-189`) — score-identical to
-its per-pair loop. Ablation variants (noLog / noNorm / zeroPad...) are
-toggles, mirroring `FTM2D_noLog.py` etc.
+its per-pair loop.
+
+Ablation variants mirror the reference's separate files as toggles:
+  do_log=False           -> FTM2D_noLog.py
+  do_norm=False          -> FTM2D_noNorm.py
+  both False             -> FTM2D_noNormNoLog.py
+  mode="zeropad"         -> FTM2D_zeroPad.py (whole beat-chroma zero-padded
+                            to 12 x PAD_LEN, ONE global fft2, unit-norm;
+                            `FTM2D_zeroPad.py:99-108`)
+  mode="zeropad", do_log -> FTM2D_zeroPadLog.py (log(x + 1) after norm)
 """
 
 from __future__ import annotations
@@ -50,21 +58,42 @@ class FTM2D(CoverAlgorithm):
 
     def __init__(self, chroma_type: str = "hpcp", PWR: float = 1.96,
                  WIN: int = 75, C: float = 5.0, do_log: bool = True,
-                 do_norm: bool = True):
+                 do_norm: bool = True, mode: str = "median",
+                 PAD_LEN: int = 2000):
+        assert mode in ("median", "zeropad")
         self.chroma_type = chroma_type
         self.PWR = PWR
         self.WIN = WIN
         self.C = C
         self.do_log = do_log
         self.do_norm = do_norm
+        self.mode = mode
+        self.PAD_LEN = PAD_LEN
+
+    def _shingle_zeropad(self, bt: np.ndarray) -> np.ndarray:
+        """Zero-pad the whole beat-chroma to 12 x PAD_LEN, one global 2D
+        FFT magnitude, unit norm (+ optional log) (`FTM2D_zeroPad.py:
+        99-108`, `FTM2D_zeroPadLog.py:108`)."""
+        pad = np.zeros((12, self.PAD_LEN), dtype=np.float64)
+        bt = bt[:, :self.PAD_LEN]
+        pad[:, :bt.shape[1]] = bt
+        flat = np.abs(np.fft.fft2(pad)).flatten()
+        n = np.sqrt(np.sum(flat ** 2))
+        s = flat / (n if n > 0 else 1.0)
+        if self.do_log:
+            s = np.log(s + 1)
+        return s.astype(np.float32)
 
     def shingle(self, chroma: np.ndarray, onsets: np.ndarray) -> np.ndarray:
-        """Single-song 900-dim FTM2D shingle (`FTM2D.py:78-117`)."""
-        out = np.zeros(12 * self.WIN, dtype=np.float32)
+        """Single-song FTM2D shingle (`FTM2D.py:78-117`)."""
+        dim = 12 * (self.PAD_LEN if self.mode == "zeropad" else self.WIN)
+        out = np.zeros(dim, dtype=np.float32)
         if onsets.size <= self.WIN:   # "Not enough beats" (`FTM2D.py:88`)
             return out
         bt = sync_agg(chroma, onsets, "median").T      # (12, n_seg)
         bt = np.asarray(chrompwr(bt, self.PWR, axis=0))
+        if self.mode == "zeropad":
+            return self._shingle_zeropad(bt)
         sh = fft2_mag_patches(bt, self.WIN)            # (P, 900)
         if sh.shape[0] == 0:
             return out

@@ -33,7 +33,7 @@ def _chord_templates(rng: np.random.Generator, n_chords: int = 24):
 
 
 def _render_song(rng, states, durations, templates, transposition,
-                 tempo_factor, noise, beat_period):
+                 tempo_factor, noise, beat_period, tempo_curve):
     """Render a latent chord-state sequence into per-frame features."""
     frames = []
     for s, d in zip(states, durations):
@@ -47,12 +47,18 @@ def _render_song(rng, states, durations, templates, transposition,
     chroma = chroma / np.maximum(
         np.linalg.norm(chroma, axis=1, keepdims=True), 1e-8)
 
-    # Beat grid: roughly periodic onsets (in frame units), tempo-scaled.
-    period = beat_period * tempo_factor
-    onsets = np.arange(1.0, L - 1, period)
-    onsets = np.round(
-        onsets + rng.normal(0, 0.3, size=onsets.shape)).astype(np.int64)
-    onsets = np.unique(np.clip(onsets, 0, L - 1))
+    # Beat grid: onsets following the clique-shared tempo CURVE (so covers
+    # share tempo-variation structure, like real performances), globally
+    # scaled by the per-cover tempo factor.
+    onsets = []
+    t, k = 1.0, 0
+    while t < L - 1:
+        onsets.append(t)
+        t += beat_period * tempo_factor * tempo_curve[k % len(tempo_curve)]
+        k += 1
+    onsets = np.round(np.asarray(onsets)
+                      + rng.normal(0, 0.3, size=len(onsets)))
+    onsets = np.unique(np.clip(onsets, 0, L - 1)).astype(np.int64)
 
     # Novelty functions: smoothed pulse trains at the onsets.
     novfn = np.zeros(L)
@@ -87,6 +93,12 @@ def make_synthetic_dataset(
     def add_clique(cid: str, size: int):
         states = rng.integers(0, len(templates), size=n_states)
         durations = base_duration * (0.5 + rng.random(n_states))
+        # Clique-shared tempo curve: smooth multiplicative beat-period
+        # modulation (covers share its SHAPE; global speed still differs).
+        raw = rng.normal(0, 1, 64)
+        kernel = np.exp(-0.5 * (np.arange(-8, 9) / 4.0) ** 2)
+        smooth = np.convolve(raw, kernel / kernel.sum(), mode="same")
+        tempo_curve = 1.0 + 0.35 * smooth / max(np.abs(smooth).max(), 1e-9)
         # Timbre latent shared across the clique.
         timbre = rng.normal(size=(n_states, 13)).astype(np.float32)
         for p in range(size):
@@ -94,7 +106,7 @@ def make_synthetic_dataset(
             tempo_factor = float(rng.uniform(0.8, 1.25)) if p else 1.0
             chroma, onsets, novfn, snovfn = _render_song(
                 rng, states, durations, templates, transposition,
-                tempo_factor, noise, beat_period)
+                tempo_factor, noise, beat_period, tempo_curve)
             L = chroma.shape[0]
             # mfcc follows the same latent timbre states, warped to L frames.
             src = np.repeat(timbre, 4, axis=0)

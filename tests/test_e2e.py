@@ -103,3 +103,27 @@ def test_early_snf_e2e(dataset):
     assert stats["chroma_qmax"].map > 0.6
     assert stats["snf_qmax"].map > 0.4
     assert stats["snf_dmax"].map > 0.4
+
+
+def test_simple_tempogram_anf_e2e(dataset):
+    from acoss_tpu.benchmarking.algorithms.anf_scattering import \
+        ANFScattering
+    from acoss_tpu.benchmarking.algorithms.simple import Simple
+    from acoss_tpu.benchmarking.algorithms.tempogram import TGAlg
+
+    stats = benchmark(Simple(chroma_type="hpcp", WIN=20, SKIP=10), dataset)
+    assert stats["main"].map > 0.5
+
+    stats = benchmark(TGAlg(downsample_fac=4, win_length=96), dataset)
+    # tempo structure is a weak planted signal; just beat chance solidly
+    assert stats["tempogram_sflux_qmax"].map > 0.15
+
+    stats = benchmark(ANFScattering(J=5, T=2 ** 10, Q=4), dataset)
+    assert stats["anfrnn"].map > 0.15
+
+
+def test_ftm2d_zeropad_e2e(dataset):
+    algo = FTM2D(chroma_type="hpcp", mode="zeropad", PAD_LEN=256,
+                 do_log=True)
+    stats = benchmark(algo, dataset)
+    assert stats["main"].map > 0.4
