@@ -1,0 +1,91 @@
+"""StrucFTM2D / StrucShingles: sparse shingles of the fused structural W.
+
+Parity targets:
+- StrucFTM2D (`/root/reference/benchmarking/StrucFTM2D.py:30-189`): fused W
+  (MFCC + HPCP SNF, `StrucFTM2D.py:119`) zero-padded to PAD_LEN^2, 2D-FFT
+  magnitude, L2-normalized log shingle truncated to its 5 * PAD_LEN largest
+  entries; similarity exp(-d^2) over all pairs via one sparse Gram
+  (`StrucFTM2D.py:173-189`).
+- StrucShingles (`StrucShingles.py:32-170`): identical but WITHOUT the 2D
+  FFT (raw padded W shingle).
+
+The sparse Gram runs host-side in scipy.sparse (descriptors are 4M-dim
+with only 5 * PAD_LEN nonzeros); everything upstream (tempogram, SSMs, SNF,
+FFT) runs on device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse
+
+from acoss_tpu.benchmarking.algorithms.struct_common import (
+    sparse_top_shingle, structural_fused_w)
+from acoss_tpu.benchmarking.harness import CoverAlgorithm
+from acoss_tpu.data.store import FeatureSet
+
+
+class StrucFTM2D(CoverAlgorithm):
+    NAME = "StrucFTM2D"
+    SIMILARITY_TYPES = ("main",)
+    SYMMETRIC = True
+    DO_FFT = True
+    FUSE_FEATURES = ("mfcc", "hpcp")
+
+    def __init__(self, chroma_type: str = "hpcp", wins_per_block: int = 20,
+                 K: int = 10, niters: int = 10, do_sync: bool = True,
+                 downsample_fac: int = 40, PAD_LEN: int = 2000,
+                 tempogram_win: int = 384):
+        self.chroma_type = chroma_type
+        self.wins_per_block = wins_per_block
+        self.K = K
+        self.niters = niters
+        self.do_sync = do_sync
+        self.downsample_fac = downsample_fac
+        self.PAD_LEN = PAD_LEN
+        self.tempogram_win = tempogram_win
+
+    def _song_shingle(self, fs: FeatureSet, i: int):
+        W, _ = structural_fused_w(
+            fs, i, self.chroma_type, self.wins_per_block, self.K,
+            self.niters, self.do_sync, self.downsample_fac,
+            fuse_features=self.FUSE_FEATURES,
+            tempogram_win=self.tempogram_win)
+        P = self.PAD_LEN
+        n = min(P, W.shape[0])
+        Wres = np.zeros((P, P), dtype=np.float32)
+        Wres[:n, :n] = W[:n, :n]
+        if self.DO_FFT:
+            flat = np.asarray(
+                jnp.abs(jnp.fft.fft2(jnp.asarray(Wres)))).flatten()
+        else:
+            flat = Wres.flatten()
+        return sparse_top_shingle(flat, 5 * P)
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        idxs, vals = [], []
+        for i in range(fs.n_songs):
+            ix, v = self._song_shingle(fs, i)
+            idxs.append(ix)
+            vals.append(v)
+        return {"idx": idxs, "val": vals,
+                "dim": self.PAD_LEN * self.PAD_LEN}
+
+    def full_scores(self, desc: dict) -> dict:
+        n = len(desc["idx"])
+        indptr = np.cumsum([0] + [len(ix) for ix in desc["idx"]])
+        X = sparse.csr_matrix(
+            (np.concatenate(desc["val"]), np.concatenate(desc["idx"]),
+             indptr), shape=(n, desc["dim"]))
+        sq = np.asarray(X.power(2).sum(axis=1)).ravel()
+        G = np.asarray((X @ X.T).todense())
+        d2 = sq[:, None] + sq[None, :] - 2.0 * G
+        return {"main": np.exp(-np.maximum(d2, 0.0)).astype(np.float32)}
+
+
+class StrucShingles(StrucFTM2D):
+    """StrucFTM2D without the 2D FFT (`StrucShingles.py:132-142`)."""
+
+    NAME = "StrucShingles"
+    DO_FFT = False

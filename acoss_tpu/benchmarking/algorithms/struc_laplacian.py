@@ -1,0 +1,105 @@
+"""StrucLaplacian: structural-novelty curves from spectral clustering.
+
+Parity target: `/root/reference/benchmarking/StrucLaplacian.py:25-181`:
+fused W of all three feature stacks -> random-walk Laplacian eigenvectors
+-> sequential spectral clustering at k = 2..neigs -> hierarchy meet matrix
+-> SVD -> curvature-magnitude (velocity) profile -> sliding window (m=10)
+descriptor; pair score: Euclidean CSM -> csm_to_binary (non-mutual) ->
+qmax/dmax / (M + N) (`StrucLaplacian.py:166-181`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acoss_tpu.benchmarking.algorithms.struct_common import structural_fused_w
+from acoss_tpu.benchmarking.harness import CoverAlgorithm
+from acoss_tpu.data.store import FeatureSet, pad_stack
+from acoss_tpu.ops import alignment, crp
+from acoss_tpu.ops.curvature import get_curv_vectors
+from acoss_tpu.ops.laplacian import (meet_matrix,
+                                     random_walk_laplacian_eigs,
+                                     spectral_cluster_sequential)
+
+HOP_LENGTH = 512
+SR = 44100
+
+
+class StrucLaplacian(CoverAlgorithm):
+    NAME = "StructureLaplacian"
+    SIMILARITY_TYPES = ("snovfn_qmax", "snovfn_dmax")
+    SYMMETRIC = True
+    TILE = 8
+
+    def __init__(self, chroma_type: str = "hpcp", kappa: float = 0.095,
+                 m: int = 10, wins_per_block: int = 20, K: int = 10,
+                 niters: int = 10, neigs: int = 10, do_sync: bool = True,
+                 downsample_fac: int = 40, tempogram_win: int = 384,
+                 pad_to_multiple: int = 64):
+        self.chroma_type = chroma_type
+        self.kappa = kappa
+        self.m = m
+        self.wins_per_block = wins_per_block
+        self.K = K
+        self.niters = niters
+        self.neigs = neigs
+        self.do_sync = do_sync
+        self.downsample_fac = downsample_fac
+        self.tempogram_win = tempogram_win
+        self.pad_to_multiple = pad_to_multiple
+
+    def _song_profile(self, fs: FeatureSet, i: int) -> np.ndarray:
+        W, onsets = structural_fused_w(
+            fs, i, self.chroma_type, self.wins_per_block, self.K,
+            self.niters, self.do_sync, self.downsample_fac,
+            fuse_features=("mfcc", "hpcp", "tempogram"),
+            tempogram_win=self.tempogram_win)
+        times = onsets * HOP_LENGTH / SR
+        if len(times) < max(self.neigs + 1, self.m + 2):
+            return np.zeros((1, self.m), dtype=np.float32)
+        vs = np.asarray(random_walk_laplacian_eigs(jnp.asarray(W)))
+        vs = vs[:len(times)]
+        labels = [spectral_cluster_sequential(vs, k, times)
+                  for k in range(2, self.neigs + 1)]
+        interval = float(np.mean(times[1:] - times[:-1]))
+        L = meet_matrix([r["intervals_hier"] for r in labels],
+                        [r["labels_hier"] for r in labels],
+                        max(interval, 1e-4))
+        U, s, _ = np.linalg.svd(L)
+        s = s[:self.neigs]
+        s = s / max(s[0], 1e-12)
+        X = U[:, :self.neigs] * s[None, :]
+        curvs = np.array(get_curv_vectors(X, 3, 2))   # (4, n, d)
+        prof = np.sqrt(np.sum(curvs ** 2, axis=2)).T  # (n, 4)
+        prof = prof[:, 1]                              # velocity magnitude
+        if prof.size < self.m:
+            return np.zeros((1, self.m), dtype=np.float32)
+        return np.asarray(
+            crp.sliding_window(prof[:, None], self.m), dtype=np.float32)
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        profiles = [self._song_profile(fs, i) for i in range(fs.n_songs)]
+        Lmax = max(p.shape[0] for p in profiles)
+        pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
+        arr, lengths = pad_stack(profiles, pad_to)
+        return {"profile": arr, "length": lengths.astype(np.int32)}
+
+    def _pair_crp(self, r, c):
+        csm = crp.get_csm(r["profile"], c["profile"])
+        return crp.csm_to_binary(csm, self.kappa, r["length"], c["length"])
+
+    def tile_scores(self, row: dict, col: dict) -> dict:
+        pair = jax.vmap(jax.vmap(self._pair_crp, in_axes=(None, 0)),
+                        in_axes=(0, None))
+        B = pair(row, col)
+        bi, bj, L, _ = B.shape
+        S = B.reshape(-1, L, L)
+        ml = jnp.broadcast_to(row["length"][:, None], (bi, bj)).reshape(-1)
+        nl = jnp.broadcast_to(col["length"][None, :], (bi, bj)).reshape(-1)
+        q = alignment.qmax_batch_best(S, ml, nl)
+        d = alignment.dmax_batch_best(S, ml, nl)
+        denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)
+        return {"snovfn_qmax": (q / denom).reshape(bi, bj),
+                "snovfn_dmax": (d / denom).reshape(bi, bj)}

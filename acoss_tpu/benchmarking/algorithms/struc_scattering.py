@@ -1,0 +1,69 @@
+"""StrucScattering: 2D scattering of the fused structural W.
+
+Parity target: `/root/reference/benchmarking/StrucScattering.py:35-199`
+(torch kymatio backend replaced by `acoss_tpu.ops.scattering`): fused W of
+all three feature stacks, anti-aliased resize to 512x512, Scattering2D
+(J=6, L=8), optional per-path L2 normalization, flattened descriptor;
+similarity exp(-||s1 - s2||^2) via one dense Gram
+(`StrucScattering.py:181-199`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acoss_tpu.benchmarking.algorithms.struct_common import structural_fused_w
+from acoss_tpu.benchmarking.harness import CoverAlgorithm
+from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.ops.resize import resize
+from acoss_tpu.ops.scattering import Scattering2D
+
+
+class StrucScattering(CoverAlgorithm):
+    NAME = "StrucScattering"
+    SIMILARITY_TYPES = ("main",)
+    SYMMETRIC = True
+
+    def __init__(self, chroma_type: str = "hpcp", wins_per_block: int = 20,
+                 K: int = 10, niters: int = 10, norm_per_path: bool = True,
+                 final_size: int = 512, J: int = 6, L: int = 8,
+                 do_sync: bool = True, downsample_fac: int = 40,
+                 tempogram_win: int = 384):
+        self.chroma_type = chroma_type
+        self.wins_per_block = wins_per_block
+        self.K = K
+        self.niters = niters
+        self.norm_per_path = norm_per_path
+        self.final_size = final_size
+        self.do_sync = do_sync
+        self.downsample_fac = downsample_fac
+        self.tempogram_win = tempogram_win
+        self.scattering = Scattering2D((final_size, final_size), J=J, L=L)
+
+    def extract_descriptors(self, fs: FeatureSet) -> dict:
+        shingles = []
+        for i in range(fs.n_songs):
+            W, _ = structural_fused_w(
+                fs, i, self.chroma_type, self.wins_per_block, self.K,
+                self.niters, self.do_sync, self.downsample_fac,
+                fuse_features=("mfcc", "hpcp", "tempogram"),
+                tempogram_win=self.tempogram_win)
+            Wr = resize(jnp.asarray(W),
+                        (self.final_size, self.final_size))
+            S = self.scattering(Wr)          # (paths, m, m)
+            if self.norm_per_path:
+                norms = jnp.sqrt(jnp.sum(S * S, axis=(-2, -1),
+                                         keepdims=True))
+                S = S / jnp.where(norms == 0, 1.0, norms)
+            shingles.append(np.asarray(S, dtype=np.float32).ravel())
+        return {"shingle": np.stack(shingles)}
+
+    def full_scores(self, desc: dict) -> dict:
+        X = jnp.asarray(desc["shingle"])
+        sq = jnp.sum(X * X, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            X, X.T, precision="highest")
+        return {"main": np.array(jnp.exp(-jnp.maximum(d2, 0.0)),
+                                 dtype=np.float32)}

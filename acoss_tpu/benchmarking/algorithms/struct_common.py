@@ -1,0 +1,103 @@
+"""Shared pipeline of the structural algorithm family (Struc*).
+
+Parity target: the common `load_features` preamble of
+`StrucFTM2D.py:70-120`, `StrucShingles.py`, `StrucLaplacian.py:60-120`,
+`StrucScattering.py`: beat-synchronous (or uniformly downsampled) HPCP /
+MFCC / tempogram stacks (wins_per_block history embedding), their
+SSM / cosine-CSM distance matrices, and SNF fusion into one W.
+
+NOTE (reference quirk, not replicated): the reference zero-pads the
+matrices in the `Ds` LIST when they are smaller than 2K
+(`StrucFTM2D.py:107-112`) but then passes the ORIGINAL unpadded variables
+to the fusion call (`StrucFTM2D.py:119`), making the pad dead code. We pad
+the matrices actually fused (the evident intent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.features.rhythm import tempogram
+from acoss_tpu.ops import crp, fusion
+from acoss_tpu.ops.segment import stack_memory, sync_agg
+
+
+def autotune_k(K: int, n: int) -> int:
+    """K = -1 -> 2 * log2(n) (`StrucFTM2D.py:114-117`)."""
+    if K == -1:
+        return int(np.round(2 * np.log(n) / np.log(2)))
+    return K
+
+
+def structural_fused_w(
+    fs: FeatureSet,
+    i: int,
+    chroma_type: str = "hpcp",
+    wins_per_block: int = 20,
+    K: int = 10,
+    niters: int = 10,
+    do_sync: bool = True,
+    downsample_fac: int = 40,
+    fuse_features: tuple = ("mfcc", "hpcp", "tempogram"),
+    tempogram_win: int = 384,
+):
+    """Fused structural affinity matrix for song `i`.
+
+    Returns (WFused (n, n) np.float32, onsets (n,) int64).
+    """
+    clen = fs.length(chroma_type)[i]
+    mlen = fs.length("mfcc_htk")[i]
+    hpcp = fs.feature(chroma_type)[i, :clen]
+    mfcc = np.nan_to_num(fs.feature("mfcc_htk")[i, :mlen],
+                         nan=0.0, posinf=0.0, neginf=0.0)
+    snovfn = fs.feature("snovfn")[i, :fs.length("snovfn")[i], 0]
+    if do_sync:
+        olen = fs.length("onsets")[i]
+        onsets = fs.feature("onsets")[i, :olen, 0].astype(np.int64)
+    else:
+        onsets = np.arange(0, mfcc.shape[0], downsample_fac)
+
+    def prep(x, agg):
+        y = sync_agg(x, onsets, agg)
+        y = np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
+        return stack_memory(y, wins_per_block, 1).astype(np.float32)
+
+    Ds = []
+    for name in fuse_features:
+        if name == "mfcc":
+            Ds.append(np.asarray(crp.get_ssm(prep(mfcc, "mean"))))
+        elif name == "hpcp":
+            h = prep(hpcp, "median")
+            Ds.append(np.asarray(crp.get_csm_cosine(h, h)))
+        elif name == "tempogram":
+            tg = tempogram(snovfn, tempogram_win).T
+            Ds.append(np.asarray(crp.get_ssm(prep(tg, "mean"))))
+        else:
+            raise ValueError(name)
+    n = min(D.shape[0] for D in Ds)
+    Ds = [D[:n, :n] for D in Ds]
+    pK = autotune_k(K, n)
+    # Edge case: zero-pad tiny songs so the kNN statistics are defined.
+    if n < 2 * pK:
+        padded = []
+        for D in Ds:
+            P = np.zeros((2 * pK, 2 * pK), dtype=D.dtype)
+            P[:n, :n] = D
+            padded.append(P)
+        Ds = padded
+    _, WFused = fusion.snf(np.stack(Ds), K=pK, niters=niters)
+    return np.asarray(WFused, dtype=np.float32), onsets[:n]
+
+
+def sparse_top_shingle(flat: np.ndarray, n_keep: int):
+    """log(flat / ||flat|| + 1), keep only the n_keep largest entries
+    (`StrucFTM2D.py:136-143`). Returns (indices, values) sorted by index."""
+    n = np.sqrt(np.sum(flat.astype(np.float64) ** 2))
+    s = np.log(flat / (n if n > 0 else 1.0) + 1)
+    if n_keep >= s.size:
+        idx = np.arange(s.size)
+    else:
+        cutoff = -np.partition(-s, n_keep)[n_keep - 1]
+        idx = np.flatnonzero(s >= cutoff)[:n_keep]
+    return idx.astype(np.int64), s[idx].astype(np.float32)
