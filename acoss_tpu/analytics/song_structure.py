@@ -1,0 +1,74 @@
+"""Shape DNA: isospectral structural descriptors of cover songs.
+
+Parity target: `/root/reference/coverstats/SongStructure.py:45-148`:
+chroma + MFCC stacked SSMs -> SNF (K = 1% of N, 5 iters) -> resize 256 ->
+random-walk Laplacian EIGENVALUES as the descriptor; cover vs non-cover
+Euclidean distances compared with a KS test.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import ks_2samp
+
+from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.ops import crp, fusion
+from acoss_tpu.ops.resize import resize
+from acoss_tpu.ops.segment import stack_memory, uniform_downsample
+
+
+def _rw_laplacian_eigvals(W: np.ndarray, neigs: int) -> np.ndarray:
+    """Lowest `neigs`+1 generalized eigenvalues of L u = lam D u."""
+    d = W.sum(axis=1)
+    L = np.diag(d) - W
+    sq = np.sqrt(np.maximum(d, 0.0))
+    inv = np.where(sq == 0, 1.0, 1.0 / sq)
+    LSym = inv[:, None] * L * inv[None, :]
+    w = np.linalg.eigvalsh(LSym)
+    return w[:neigs + 1]
+
+
+def get_shape_dna(hpcp: np.ndarray, mfcc: np.ndarray,
+                  downsample_fac: int = 10, m: int = 20, dim: int = 256,
+                  neigs: int = 30) -> dict:
+    """Shape-DNA descriptor of one song (`SongStructure.py:45-75`).
+
+    Args: hpcp (L, 12) and mfcc (L, 13) frames-first.
+    Returns {'w': eigenvalues, 'W': fused+resized affinity}.
+    """
+    chroma = uniform_downsample(hpcp, downsample_fac, "median")
+    chroma = stack_memory(chroma, m, 1)
+    DChroma = np.asarray(crp.get_ssm(chroma.astype(np.float32)))
+    mfcc = np.nan_to_num(mfcc, nan=0.0, posinf=0.0, neginf=0.0)
+    mf = uniform_downsample(mfcc, downsample_fac, "median")
+    mf = stack_memory(mf, m, 1)
+    DMFCC = np.asarray(crp.get_ssm(mf.astype(np.float32)))
+    n = min(DChroma.shape[0], DMFCC.shape[0])
+    K = max(int(round(n * 0.01)), 2)
+    _, fused = fusion.snf(
+        np.stack([DChroma[:n, :n], DMFCC[:n, :n]]), K=K, niters=5)
+    W = np.asarray(resize(jnp.asarray(fused), (dim, dim)))
+    return {"w": _rw_laplacian_eigvals(W, neigs), "W": W}
+
+
+def shape_dna_study(fs: FeatureSet, chroma_type: str = "hpcp",
+                    **kwargs) -> dict:
+    """Compute shape DNA for every song and compare cover vs non-cover
+    eigenvalue distances (`SongStructure.py:100-148`)."""
+    ws, labels = [], []
+    for i in range(fs.n_songs):
+        h = fs.feature(chroma_type)[i, :fs.length(chroma_type)[i]]
+        mf = fs.feature("mfcc_htk")[i, :fs.length("mfcc_htk")[i]]
+        ws.append(get_shape_dna(h, mf, **kwargs)["w"])
+        labels.append(fs.labels[i])
+    ws = np.stack(ws)
+    labels = np.asarray(labels)
+    D = np.asarray(crp.get_csm(ws.astype(np.float32),
+                               ws.astype(np.float32)))
+    same = labels[:, None] == labels[None, :]
+    off = ~np.eye(len(labels), dtype=bool)
+    dcover = D[same & off]
+    dfalse = D[~same]
+    ks = ks_2samp(dcover, dfalse) if len(dcover) and len(dfalse) else None
+    return {"ws": ws, "dcover": dcover, "dfalse": dfalse, "ks": ks}
