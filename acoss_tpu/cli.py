@@ -1,0 +1,109 @@
+"""Command-line entry points.
+
+Mirrors the reference's CLI surface with its flag names:
+- `python -m acoss_tpu.cli benchmark -a Serra09 -d <features> -s covers80
+   -c hpcp [-t tile] [-b] [--mesh RxC]` — the per-algorithm `__main__`
+  analog (e.g. `Serra09.py:198-244`); `-d` accepts either a FeatureSet
+  .npz or a directory of reference-format per-track h5 files.
+- `python -m acoss_tpu.cli extract -i <audio dir or collection txt> -o
+   <features.npz> [-m cpu] [-n N]` — the `extractors.py:117-154` analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def _load_featureset(datapath: str):
+    from acoss_tpu.data.h5io import feature_set_from_h5_dir
+    from acoss_tpu.data.store import FeatureSet
+
+    if os.path.isdir(datapath):
+        return feature_set_from_h5_dir(datapath)
+    return FeatureSet.load(datapath)
+
+
+def cmd_benchmark(args) -> int:
+    from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS
+    from acoss_tpu.benchmarking.harness import benchmark
+
+    cls = ALL_ALGORITHMS[args.algorithm]
+    kwargs = {}
+    if args.chroma_type and "chroma_type" in cls.__init__.__code__.co_varnames:
+        kwargs["chroma_type"] = args.chroma_type
+    algo = cls(**kwargs)
+    fs = _load_featureset(args.datapath)
+    os.makedirs(args.cachedir, exist_ok=True)
+    ckpt = os.path.join(
+        args.cachedir, f"{algo.NAME}_{args.shortname}_ckpt.npz") \
+        if not args.no_checkpoint else None
+    csv = f"results_{args.shortname}.csv"
+    stats = benchmark(algo, fs, tile=args.tile, results_csv=csv,
+                      checkpoint_path=ckpt, verbose=True)
+    for k, s in stats.items():
+        print(f"{algo.NAME}_{k}: MR={s.mr:.4g} MRR={s.mrr:.4g} "
+              f"MDR={s.mdr:.4g} MAP={s.map:.4g} "
+              f"Top-1={s.tops.get(1)} Top-10={s.tops.get(10)}")
+    print(f"results appended to {csv}")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from acoss_tpu.data.manifest import (label_of, read_txt_list,
+                                         track_id_of)
+    from acoss_tpu.features.pipeline import batch_extract
+
+    if os.path.isdir(args.input):
+        paths = sorted(
+            glob.glob(os.path.join(args.input, "**", "*.wav"),
+                      recursive=True)
+            + glob.glob(os.path.join(args.input, "**", "*.mp3"),
+                        recursive=True))
+    else:
+        paths = read_txt_list(args.input)
+    if not paths:
+        print("no audio files found", file=sys.stderr)
+        return 1
+    labels = [label_of(p) for p in paths]
+    ids = [track_id_of(p) for p in paths]
+    fs = batch_extract(paths, labels, ids, error_log=args.error_log)
+    fs.save(args.output)
+    print(f"extracted {fs.n_songs}/{len(paths)} songs -> {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="acoss_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("benchmark", help="run a cover-song benchmark")
+    b.add_argument("-a", "--algorithm", required=True)
+    b.add_argument("-d", "--datapath", required=True,
+                   help="FeatureSet .npz or a directory of track h5 files")
+    b.add_argument("-s", "--shortname", default="covers80")
+    b.add_argument("-c", "--chroma_type", default="hpcp")
+    b.add_argument("-t", "--tile", type=int, default=None)
+    b.add_argument("--cachedir", default="cache")
+    b.add_argument("--no-checkpoint", action="store_true")
+    b.set_defaults(fn=cmd_benchmark)
+
+    e = sub.add_parser("extract", help="extract features from audio")
+    e.add_argument("-i", "--input", required=True,
+                   help="audio directory or collection txt")
+    e.add_argument("-o", "--output", default="features.npz")
+    e.add_argument("-m", "--mode", default="cpu", choices=["cpu"])
+    e.add_argument("-n", "--n_threads", type=int, default=1,
+                   help="accepted for flag parity; extraction is batched "
+                        "on the accelerator")
+    e.add_argument("--error-log", default="errors.txt")
+    e.set_defaults(fn=cmd_extract)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,59 @@
+"""Timestamped logging, timing decorator, per-song error ledger.
+
+Parity target: `/root/reference/preprocess/utils.py:16-93` (`log`,
+`timeit`, `ErrorFile`).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+
+
+def get_logger(name: str = "acoss_tpu",
+               logfile: str | None = None) -> logging.Logger:
+    """Timestamped file+console logger (`utils.py:16-28`)."""
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if logfile:
+        fh = logging.FileHandler(logfile)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def timeit(fn):
+    """Wall-clock decorator (`utils.py:31-43`)."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.time()
+        out = fn(*args, **kwargs)
+        get_logger().info("%s took %.3fs", fn.__name__, time.time() - t0)
+        return out
+    return wrapper
+
+
+class ErrorFile:
+    """Append-only ledger of failed songs (`utils.py:80-93`); extraction
+    skips logged songs and keeps going."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def add(self, track: str, error: str = "") -> None:
+        with open(self.path, "a") as f:
+            f.write(f"{track}\t{error}\n".replace("\n\n", "\n"))
+
+    def tracks(self) -> list[str]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [ln.split("\t")[0] for ln in f if ln.strip()]
