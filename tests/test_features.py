@@ -147,3 +147,23 @@ def test_two_d_fft_mag():
     got = two_d_fft_mag(X)
     want = np.fft.fftshift(np.abs(np.fft.fft2(X)))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_onset_clicks_and_fingerprint(tmp_path):
+    from acoss_tpu.features.audio import export_onset_clicks, load_wav
+    from acoss_tpu.features.fingerprint import chromaprint
+    y = click_track(0.5, 4.0)
+    out = str(tmp_path / "clicks.wav")
+    export_onset_clicks(y, out, np.array([10, 50, 100]))
+    y2, sr = load_wav(out)
+    assert sr == SR and len(y2) == len(y)
+    # blip region was overwritten
+    assert not np.allclose(y2[10 * 512:10 * 512 + 100],
+                           y[10 * 512:10 * 512 + 100], atol=1e-3)
+
+    fp1 = chromaprint(y + 0.2 * tone(261.63, 4.0))
+    fp2 = chromaprint(y + 0.2 * tone(261.63, 4.0))
+    fp3 = chromaprint(y + 0.2 * tone(392.0, 4.0))
+    assert fp1 == fp2          # deterministic
+    assert fp1 != fp3          # different content -> different print
+    assert len(fp1) > 50
