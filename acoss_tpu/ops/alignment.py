@@ -283,3 +283,21 @@ def dmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
             S, m_len, n_len, gap=gap_onset)
     return dmax_batch(S, m_len, n_len, gap_onset=gap_onset,
                       gap_extension=gap_extension)
+
+
+def swconstrained_batch_best(S, m_len, n_len, gap_opening: float = -0.5,
+                             gap_extension: float = -0.7,
+                             match_score: float = 1.0,
+                             mismatch_score: float = -1.0):
+    """Constrained SW with the fastest available implementation (Pallas
+    row kernel on TPU, XLA scan elsewhere)."""
+    if _on_tpu():
+        from acoss_tpu.ops import alignment_pallas
+        return alignment_pallas.swconstrained_batch_pallas(
+            S, m_len, n_len, gap_opening=gap_opening,
+            gap_extension=gap_extension, match_score=match_score,
+            mismatch_score=mismatch_score)
+    return swconstrained_batch(
+        S, m_len, n_len, gap_opening=gap_opening,
+        gap_extension=gap_extension, match_score=match_score,
+        mismatch_score=mismatch_score)

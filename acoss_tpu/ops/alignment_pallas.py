@@ -176,3 +176,72 @@ def dmax_batch_pallas(S, m_len, n_len, gap: float = 0.5,
     gap_onset == gap_extension == gap."""
     return _run(_dmax_kernel, 6, S, m_len, n_len, gap, None, 4,
                 block_b, block_t, interpret)
+
+
+def _sw_kernel(T, go, ge, match, mismatch, s_ref, out_ref,
+               A, B2, SA, SB, bestv):
+    """Constrained Smith-Waterman row kernel.
+
+    v_i = pred_i + MS + Delta(sprev_i, cur); D = max(v1, v2, v3, 0).
+    MS = match if S else mismatch; Delta = 0 when cur else
+    (go if sprev else ge) — computed as (1 - S) * (ge + (go - ge) * sprev).
+    S margins cannot be pre-zeroed (S participates as mismatch evidence and
+    Delta context), so rows/cols < 2 are masked explicitly.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        z = jnp.zeros_like(bestv)
+        for ref in (A, B2, SA, SB, bestv):
+            ref[:] = z
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, bestv.shape, 1)
+    colmask = (jj >= 2).astype(jnp.float32)
+
+    def body(k, carry):
+        a, b2, s_a, s_b, bv = carry
+        sd = s_ref[0, k].astype(jnp.int32).astype(jnp.float32)
+        ms = mismatch + (match - mismatch) * sd
+        nogap = 1.0 - sd
+
+        def term(pred, sprev):
+            return pred + ms + nogap * (ge + (go - ge) * sprev)
+
+        v1 = term(_shift(a, 1), _shift(s_a, 1))
+        v2 = term(_shift(b2, 1), _shift(s_b, 1))
+        v3 = term(_shift(a, 2), _shift(s_a, 2))
+        Dd = jnp.maximum(jnp.maximum(jnp.maximum(v1, v2), v3), 0.0)
+        rowflag = jnp.where(t * T + k >= 2, 1.0, 0.0)
+        Dd = Dd * (colmask * rowflag)
+        return Dd, a, sd, s_a, jnp.maximum(bv, Dd)
+
+    (A[:], B2[:], SA[:], SB[:], bestv[:]) = jax.lax.fori_loop(
+        0, T, body, (A[:], B2[:], SA[:], SB[:], bestv[:]))
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = jnp.max(bestv[:], axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_opening", "gap_extension", "match_score",
+                     "mismatch_score", "block_b", "block_t", "interpret"))
+def swconstrained_batch_pallas(S, m_len, n_len,
+                               gap_opening: float = -0.5,
+                               gap_extension: float = -0.7,
+                               match_score: float = 1.0,
+                               mismatch_score: float = -1.0,
+                               block_b: int = 128, block_t: int = 64,
+                               interpret: bool = False):
+    """Batched constrained SW on TPU; semantics of
+    `alignment.swconstrained_batch`."""
+    kernel = functools.partial(_sw_kernel, block_t, gap_opening,
+                               gap_extension, match_score, mismatch_score)
+
+    def wrapped(T_, gap_, s_ref, out_ref, *scratch):
+        return kernel(s_ref, out_ref, *scratch)
+
+    return _run(wrapped, 5, S, m_len, n_len, 0.0, None, 3,
+                block_b, block_t, interpret)
