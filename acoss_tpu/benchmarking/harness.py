@@ -60,6 +60,13 @@ class CoverAlgorithm:
         do_late_fusion post-passes, `ChenFusion.py:71-85`)."""
         return Ds
 
+    def bucket_lengths(self, fs: FeatureSet) -> np.ndarray:
+        """Per-song length proxy used by the bucketed sweep; defaults to
+        the first ragged feature's lengths."""
+        if fs.lengths:
+            return fs.lengths[sorted(fs.lengths)[0]]
+        return np.full(fs.n_songs, 1, np.int32)
+
 
 def _slice_desc(desc: dict, lo: int, hi: int) -> dict:
     return {k: v[lo:hi] for k, v in desc.items()}
@@ -81,6 +88,8 @@ def run_pairwise(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 16,
     verbose: bool = False,
+    tile_filter=None,
+    skip_symmetrize: bool = False,
 ) -> dict:
     """Sweep the pair grid, returning {similarity_type: (N, N) np.float32}.
 
@@ -142,6 +151,8 @@ def run_pairwise(
         for tj in cols:
             if done[ti, tj]:
                 continue
+            if tile_filter is not None and not tile_filter(ti, tj):
+                continue
             col = _slice_desc(desc, tj * tile, (tj + 1) * tile)
             scores = tile_fn(row, col)
             scores = {k: np.asarray(v) for k, v in scores.items()}
@@ -164,10 +175,134 @@ def run_pairwise(
                   f"({time.time() - t0:.1f}s)")
     save_ckpt()
 
-    if algorithm.SYMMETRIC:
+    if algorithm.SYMMETRIC and not skip_symmetrize:
         for k in Ds:
             Ds[k] = Ds[k] + Ds[k].T
     return Ds
+
+
+def _sweep_block(
+    tile_fn,
+    desc_row: dict,
+    desc_col: dict,
+    n_rows: int,
+    n_cols: int,
+    sim_types,
+    tile: int,
+    lower_only: bool,
+) -> dict:
+    """Sweep a rectangular block of the pair grid with one jitted call per
+    (tile x tile) sub-block. `lower_only` keeps strictly-lower tiles (the
+    symmetric diagonal-block case)."""
+    nt_r = -(-n_rows // tile)
+    nt_c = -(-n_cols // tile)
+    desc_row = _pad_desc(desc_row, nt_r * tile)
+    desc_col = _pad_desc(desc_col, nt_c * tile)
+    out = {k: np.zeros((n_rows, n_cols), np.float32) for k in sim_types}
+    idx = np.arange(tile)
+    for ti in range(nt_r):
+        cols = range(min(ti + 1, nt_c)) if lower_only else range(nt_c)
+        row = _slice_desc(desc_row, ti * tile, (ti + 1) * tile)
+        for tj in cols:
+            col = _slice_desc(desc_col, tj * tile, (tj + 1) * tile)
+            scores = tile_fn(row, col)
+            ij = np.meshgrid(idx + ti * tile, idx + tj * tile,
+                             indexing="ij")
+            keep = (ij[0] < n_rows) & (ij[1] < n_cols)
+            if lower_only:
+                keep &= ij[0] > ij[1]
+            for k, S in scores.items():
+                out[k][ij[0][keep], ij[1][keep]] = np.asarray(S)[keep]
+    return out
+
+
+def _pad_axis1(desc: dict, ref: dict) -> dict:
+    """Pad ragged (axis-1) descriptor arrays up to the partner bucket's
+    lengths so one jitted tile kernel serves the cross-bucket block."""
+    out = {}
+    for k, v in desc.items():
+        target = ref[k].shape
+        if v.ndim >= 2 and v.shape[1] < target[1]:
+            pad = [(0, 0)] * v.ndim
+            pad[1] = (0, target[1] - v.shape[1])
+            v = np.pad(v, pad)
+        out[k] = v
+    return out
+
+
+def run_pairwise_bucketed(
+    algorithm: CoverAlgorithm,
+    fs: FeatureSet,
+    n_buckets: int = 4,
+    tile: int | None = None,
+    verbose: bool = False,
+) -> dict:
+    """Length-bucketed pair sweep: songs are grouped by length so a tile of
+    pairs shares padding (the reference's ~10x song-length spread otherwise
+    pads every pair to the global max — SURVEY.md section 5). Descriptors
+    are extracted per bucket at the bucket's own padded length; cross-bucket
+    blocks pad the shorter bucket's arrays up to the pair's max.
+
+    Songs are processed in length-sorted order internally (so cross-bucket
+    blocks always have row-index > col-index and the symmetric-score
+    orientation stays consistent); the output matrices are unpermuted back.
+    For a length-sorted FeatureSet the result equals `run_pairwise`
+    exactly; otherwise the (arbitrary) orientation convention of symmetric
+    scores is "row = longer song" instead of "row = larger index".
+    """
+    tile = tile or algorithm.TILE
+    lengths = np.asarray(algorithm.bucket_lengths(fs))
+    perm = np.argsort(lengths, kind="stable")
+    fs = fs.subset(perm)
+    edges = np.array_split(np.arange(fs.n_songs), n_buckets)
+    buckets = [(e, None) for e in edges if len(e)]
+    descs = []
+    for idx, _ in buckets:
+        descs.append(algorithm.extract_descriptors(fs.subset(idx)))
+    tile_fn = jax.jit(algorithm.tile_scores)
+    n = fs.n_songs
+    Ds = {k: np.zeros((n, n), np.float32)
+          for k in algorithm.SIMILARITY_TYPES}
+    for bi in range(len(buckets)):
+        idx_i, _ = buckets[bi]
+        for bj in range(bi + 1):
+            idx_j, _ = buckets[bj]
+            if bi == bj:
+                sub = _sweep_block(tile_fn, descs[bi], descs[bi],
+                                   len(idx_i), len(idx_i),
+                                   algorithm.SIMILARITY_TYPES, tile,
+                                   lower_only=algorithm.SYMMETRIC)
+                for k in Ds:
+                    Ds[k][np.ix_(idx_i, idx_i)] = sub[k]
+            else:
+                di = _pad_axis1(descs[bi], descs[bj])
+                dj = _pad_axis1(descs[bj], descs[bi])
+                sub = _sweep_block(tile_fn, di, dj, len(idx_i),
+                                   len(idx_j),
+                                   algorithm.SIMILARITY_TYPES, tile,
+                                   lower_only=False)
+                for k in Ds:
+                    Ds[k][np.ix_(idx_i, idx_j)] = sub[k]
+                if not algorithm.SYMMETRIC:
+                    sub2 = _sweep_block(tile_fn, dj, di, len(idx_j),
+                                        len(idx_i),
+                                        algorithm.SIMILARITY_TYPES, tile,
+                                        lower_only=False)
+                    for k in Ds:
+                        Ds[k][np.ix_(idx_j, idx_i)] = sub2[k]
+        if verbose:
+            print(f"[{algorithm.NAME}] bucket-row {bi + 1}/{len(buckets)}")
+    if algorithm.SYMMETRIC:
+        for k in Ds:
+            tri = np.tril(Ds[k], -1)
+            Ds[k] = tri + tri.T
+    else:
+        for k in Ds:
+            np.fill_diagonal(Ds[k], 0.0)
+    # unpermute back to the caller's song order
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return {k: D[np.ix_(inv, inv)] for k, D in Ds.items()}
 
 
 def benchmark(

@@ -1,0 +1,102 @@
+"""Multi-process (multi-host) distribution of the pair sweep.
+
+The reference distributes across nodes with SGE array jobs + HDF5 batch
+files merged by scatter-add (`CoverAlgorithm.py:249-317`, `runcovers80.sh`).
+The TPU-native analog keeps the same elastic, file-mediated structure at
+the PROCESS level (each process drives its own chips; within a process the
+mesh sharding of `parallel.mesh` applies):
+
+1. `initialize()` wires `jax.distributed` from the environment;
+2. block-rows of the tile grid are assigned to processes with a balanced
+   greedy schedule (`assign_block_rows` — lower-triangular rows have
+   unequal cost);
+3. each process sweeps only its tiles (`run_pairwise(...,
+   tile_filter=...)`) and writes a partial-score file;
+4. `merge_partials` scatter-adds the partial matrices — the "all-reduce
+   over files" of `load_batches` (`CoverAlgorithm.py:297-317`) — and
+   symmetrizes once at the end.
+
+Partial files are idempotent, so preempted processes simply rerun.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from acoss_tpu.benchmarking.harness import CoverAlgorithm, run_pairwise
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """`jax.distributed.initialize` pass-through (env-driven when args are
+    None). No-op when num_processes == 1."""
+    if num_processes == 1:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def assign_block_rows(n_tiles: int, num_processes: int,
+                      symmetric: bool = True) -> list[np.ndarray]:
+    """Balanced assignment of tile-grid block-rows to processes.
+
+    Lower-triangular row ti costs (ti + 1) tiles; greedy longest-first
+    keeps the per-process tile counts within one row of optimal.
+    """
+    costs = [(ti + 1 if symmetric else n_tiles, ti)
+             for ti in range(n_tiles)]
+    costs.sort(reverse=True)
+    loads = np.zeros(num_processes, dtype=np.int64)
+    rows: list[list[int]] = [[] for _ in range(num_processes)]
+    for cost, ti in costs:
+        p = int(np.argmin(loads))
+        loads[p] += cost
+        rows[p].append(ti)
+    return [np.array(sorted(r), dtype=np.int64) for r in rows]
+
+
+def run_process_shard(
+    algorithm: CoverAlgorithm,
+    desc: dict,
+    n_songs: int,
+    process_id: int,
+    num_processes: int,
+    out_dir: str,
+    tile: int | None = None,
+    verbose: bool = False,
+) -> str:
+    """Sweep this process's block-rows and write the partial scores.
+
+    Returns the partial-file path (idempotent: rerunning overwrites)."""
+    tile = tile or algorithm.TILE
+    n_tiles = -(-n_songs // tile)
+    mine = set(assign_block_rows(n_tiles, num_processes,
+                                 algorithm.SYMMETRIC)[process_id].tolist())
+    Ds = run_pairwise(algorithm, desc, n_songs, tile=tile, verbose=verbose,
+                      tile_filter=lambda ti, tj: ti in mine,
+                      skip_symmetrize=True)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(
+        out_dir, f"{algorithm.NAME}_part_{process_id}_{num_processes}.npz")
+    np.savez(path, **{f"D::{k}": v for k, v in Ds.items()})
+    return path
+
+
+def merge_partials(paths: list[str], symmetric: bool = True) -> dict:
+    """Scatter-add partial score files into the full matrices
+    (`load_batches`, `CoverAlgorithm.py:297-317`)."""
+    Ds: dict = {}
+    for p in paths:
+        with np.load(p) as z:
+            for k in z.files:
+                name = k[3:]
+                Ds[name] = Ds.get(name, 0) + z[k]
+    if symmetric:
+        for k in Ds:
+            Ds[k] = Ds[k] + Ds[k].T
+    return Ds

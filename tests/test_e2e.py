@@ -127,3 +127,27 @@ def test_ftm2d_zeropad_e2e(dataset):
                  do_log=True)
     stats = benchmark(algo, dataset)
     assert stats["main"].map > 0.4
+
+
+def test_bucketed_sweep_matches_global(dataset):
+    """Length-bucketed sweep == global-pad sweep (symmetric + asymmetric),
+    compared on a length-sorted dataset where the symmetric orientation
+    conventions coincide."""
+    from acoss_tpu.benchmarking.harness import run_pairwise_bucketed
+
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4, pad_to_multiple=8)
+    order = np.argsort(algo.bucket_lengths(dataset), kind="stable")
+    ds = dataset.subset(order)
+
+    desc = algo.extract_descriptors(ds)
+    D_ref = run_pairwise(algo, desc, ds.n_songs)
+    D_b = run_pairwise_bucketed(algo, ds, n_buckets=3)
+    for k in D_ref:
+        np.testing.assert_allclose(D_b[k], D_ref[k], atol=2e-4)
+
+    from acoss_tpu.benchmarking.algorithms.simple import Simple
+    algo = Simple(chroma_type="hpcp", WIN=20, SKIP=10, pad_to_multiple=8)
+    desc = algo.extract_descriptors(ds)
+    D_ref = run_pairwise(algo, desc, ds.n_songs)
+    D_b = run_pairwise_bucketed(algo, ds, n_buckets=3)
+    np.testing.assert_allclose(D_b["main"], D_ref["main"], atol=2e-4)

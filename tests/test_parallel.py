@@ -31,3 +31,25 @@ def test_sharded_matches_single_device(shape):
         # Scores are orientation-dependent (OTI direction), so compare the
         # strict lower triangle, which both paths compute as (row i, col j).
         np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril], atol=1e-5)
+
+
+def test_process_sharding_matches_full(tmp_path):
+    """3 simulated processes x file merge == single-process sweep."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.parallel.distributed import (assign_block_rows,
+                                                merge_partials,
+                                                run_process_shard)
+
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2, seed=4)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+    D_full = run_pairwise(algo, desc, fs.n_songs, tile=4)
+
+    rows = assign_block_rows(3, 3)
+    assert sorted(np.concatenate(rows).tolist()) == [0, 1, 2]
+
+    paths = [run_process_shard(algo, desc, fs.n_songs, p, 3,
+                               str(tmp_path), tile=4) for p in range(3)]
+    merged = merge_partials(paths, symmetric=True)
+    for k in D_full:
+        np.testing.assert_allclose(merged[k], D_full[k], atol=1e-6)
