@@ -72,11 +72,13 @@ class ANFScattering(CoverAlgorithm):
         return {k: np.stack(v) for k, v in out.items()}
 
     def full_scores(self, desc: dict) -> dict:
-        out = {}
-        for k in self.SIMILARITY_TYPES:
-            X = jnp.asarray(desc[k])
-            sq = jnp.sum(X * X, axis=1)
-            d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-                X, X.T, precision="highest")
-            out[k] = np.asarray(jnp.sqrt(jnp.maximum(d2, 0.0)))
-        return out
+        return {k: np.asarray(_gram_dist(jnp.asarray(desc[k])))
+                for k in self.SIMILARITY_TYPES}
+
+
+@jax.jit
+def _gram_dist(X):
+    sq = jnp.sum(X * X, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        X, X.T, precision="highest")
+    return jnp.sqrt(jnp.maximum(d2, 0.0))

@@ -91,8 +91,12 @@ class EarlyFusion(CoverAlgorithm):
             norms = np.sqrt(np.sum(x ** 2, axis=1, keepdims=True))
             xn = x / np.where(norms == 0, 1.0, norms)
             mfccs[b] = xn.ravel()
-            D = np.asarray(crp.get_ssm(xn.astype(np.float32)))
-            ssms[b] = D[iu]
+            # tiny (50 x 50) SSM: host numpy (one device readback per
+            # block would dominate over the device tunnel)
+            sq = np.sum(xn * xn, axis=1)
+            D2 = np.maximum(sq[:, None] + sq[None, :] - 2 * xn @ xn.T, 0)
+            np.fill_diagonal(D2, 0)
+            ssms[b] = np.sqrt(D2)[iu]
             c = resize_rows_np(
                 chroma[onsets[b]:onsets[b + self.blocksize]], cpb)
             chromas[b] = c.ravel()

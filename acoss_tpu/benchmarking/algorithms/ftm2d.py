@@ -28,15 +28,17 @@ import numpy as np
 
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet
-from acoss_tpu.ops.crp import chrompwr
+from acoss_tpu.ops.crp import chrompwr_np
 from acoss_tpu.ops.segment import sync_agg
 
 
 def fft2_mag_patches(btchroma: np.ndarray, win: int) -> np.ndarray:
     """All fftshifted 2D-FFT magnitude patches of a (12, n_beats) matrix.
 
-    Parity: `FTM2D.py:30-48`, but batched: one jnp.fft.fft2 over the stacked
+    Parity: `FTM2D.py:30-48`, batched: one fft2 over the stacked
     (n_patches, 12, win) sliding windows instead of a per-patch loop.
+    Host numpy: per-song patch counts vary, and ~1k-point FFTs are far
+    cheaper than one remote recompile per distinct shape.
     Returns (n_patches, 12 * win).
     """
     nchr, nbeats = btchroma.shape
@@ -44,11 +46,10 @@ def fft2_mag_patches(btchroma: np.ndarray, win: int) -> np.ndarray:
     if n_patches <= 0:
         return np.zeros((0, nchr * win), dtype=np.float32)
     idx = np.arange(win)[None, :] + np.arange(n_patches)[:, None]
-    patches = jnp.asarray(btchroma.T[idx])            # (P, win, 12)
-    patches = jnp.swapaxes(patches, 1, 2)             # (P, 12, win)
-    F = jnp.abs(jnp.fft.fft2(patches, axes=(-2, -1)))
-    F = jnp.fft.fftshift(F, axes=(-2, -1))
-    return np.asarray(F.reshape(n_patches, nchr * win), dtype=np.float32)
+    patches = np.swapaxes(btchroma.T[idx], 1, 2)      # (P, 12, win)
+    F = np.abs(np.fft.fft2(patches, axes=(-2, -1)))
+    F = np.fft.fftshift(F, axes=(-2, -1))
+    return F.reshape(n_patches, nchr * win).astype(np.float32)
 
 
 class FTM2D(CoverAlgorithm):
@@ -91,7 +92,7 @@ class FTM2D(CoverAlgorithm):
         if onsets.size <= self.WIN:   # "Not enough beats" (`FTM2D.py:88`)
             return out
         bt = sync_agg(chroma, onsets, "median").T      # (12, n_seg)
-        bt = np.asarray(chrompwr(bt, self.PWR, axis=0))
+        bt = chrompwr_np(bt, self.PWR, axis=0)
         if self.mode == "zeropad":
             return self._shingle_zeropad(bt)
         sh = fft2_mag_patches(bt, self.WIN)            # (P, 900)
@@ -121,9 +122,14 @@ class FTM2D(CoverAlgorithm):
         return {"shingle": shingles}
 
     def full_scores(self, desc: dict) -> dict:
-        S = jnp.asarray(desc["shingle"])
-        sq = jnp.sum(S * S, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-            S, S.T, precision="highest")
-        sim = jnp.exp(-jnp.maximum(d2, 0.0))
-        return {"main": np.asarray(jax.device_get(sim))}
+        return {"main": np.asarray(_gram_exp(jnp.asarray(desc["shingle"])))}
+
+
+@jax.jit
+def _gram_exp(S):
+    """exp(-||s_i - s_j||^2) Gram — ONE jitted program (eager ops each
+    compile separately over a remote-compile device tunnel)."""
+    sq = jnp.sum(S * S, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+        S, S.T, precision="highest")
+    return jnp.exp(-jnp.maximum(d2, 0.0))

@@ -61,9 +61,6 @@ class StrucScattering(CoverAlgorithm):
         return {"shingle": np.stack(shingles)}
 
     def full_scores(self, desc: dict) -> dict:
-        X = jnp.asarray(desc["shingle"])
-        sq = jnp.sum(X * X, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-            X, X.T, precision="highest")
-        return {"main": np.array(jnp.exp(-jnp.maximum(d2, 0.0)),
+        from acoss_tpu.benchmarking.algorithms.ftm2d import _gram_exp
+        return {"main": np.array(_gram_exp(jnp.asarray(desc["shingle"])),
                                  dtype=np.float32)}

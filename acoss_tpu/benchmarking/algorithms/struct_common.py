@@ -76,18 +76,17 @@ def structural_fused_w(
         else:
             raise ValueError(name)
     n = min(D.shape[0] for D in Ds)
-    Ds = [D[:n, :n] for D in Ds]
     pK = autotune_k(K, n)
-    # Edge case: zero-pad tiny songs so the kNN statistics are defined.
-    if n < 2 * pK:
-        padded = []
-        for D in Ds:
-            P = np.zeros((2 * pK, 2 * pK), dtype=D.dtype)
-            P[:n, :n] = D
-            padded.append(P)
-        Ds = padded
-    _, WFused = fusion.snf(np.stack(Ds), K=pK, niters=niters)
-    return np.asarray(WFused, dtype=np.float32), onsets[:n]
+    # Bucket-pad the fusion input so a whole corpus compiles O(few) jitted
+    # SNF shapes (per-song n would otherwise recompile the diffusion scan
+    # for every song); padding is masked exactly inside snf_padded.
+    bucket = 128
+    npad = max(-(-n // bucket) * bucket, 2 * pK, bucket)
+    padded = np.zeros((len(Ds), npad, npad), dtype=np.float32)
+    for k_, D in enumerate(Ds):
+        padded[k_, :n, :n] = D[:n, :n]
+    WFused = fusion.snf_padded(padded, pK, niters=niters, length=n)
+    return np.asarray(WFused, dtype=np.float32)[:n, :n], onsets[:n]
 
 
 def sparse_top_shingle(flat: np.ndarray, n_keep: int):

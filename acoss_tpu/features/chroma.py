@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acoss_tpu.features.spectral import frame_signal, stft
+from acoss_tpu.features.spectral import (bucket_pad_signal, frame_signal,
+                                         n_frames_centered, stft)
 
 
 def chroma_filterbank(sr: int, n_fft: int, n_chroma: int = 12,
@@ -60,9 +61,10 @@ def _chroma_stft_jax(y, sr, n_fft, hop_length):
 def chroma_stft(y: np.ndarray, sr: int = 44100, n_fft: int = 2048,
                 hop_length: int = 512) -> np.ndarray:
     """(n_frames, 12) — parity: `features.py:155-167`."""
-    return np.asarray(
-        _chroma_stft_jax(jnp.asarray(np.float32(1) * np.asarray(y)),
-                         sr, n_fft, hop_length))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_chroma_stft_jax(jnp.asarray(yp), sr, n_fft,
+                                      hop_length))
+    return out[:n_frames_centered(L, hop_length)]
 
 
 # ------------------------------------------------------------- CQT -------
@@ -107,9 +109,10 @@ def cqt(y: np.ndarray, sr: int = 44100, hop_length: int = 512,
 
     Parity: `features.py:398-416` (librosa.cqt defaults: C1, 7 octaves).
     """
-    y = jnp.asarray(np.asarray(y, dtype=np.float32))
-    return np.asarray(_cqt_jax(y, sr, hop_length, fmin, n_bins,
-                               bins_per_octave, n_fft))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_cqt_jax(jnp.asarray(yp), sr, hop_length, fmin,
+                              n_bins, bins_per_octave, n_fft))
+    return out[:n_frames_centered(L, hop_length)]
 
 
 def chroma_cqt(y: np.ndarray, sr: int = 44100, hop_length: int = 512,

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acoss_tpu.features.spectral import stft
+from acoss_tpu.features.spectral import (bucket_pad_signal,
+                                         n_frames_uncentered, stft)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -103,8 +104,9 @@ def hpcp(y: np.ndarray, sr: int = 44100, frame_size: int = 4096,
          window_size: float = 1.0, whitening: bool = True) -> np.ndarray:
     """(n_frames, n_bins) HPCP — the reference's default feature profile
     entry (`extractors.py:22-29`)."""
-    y = jnp.asarray(np.asarray(y, dtype=np.float32))
-    return np.asarray(_hpcp_jax(y, sr, frame_size, hop_length,
-                                float(min_freq), float(max_freq),
-                                float(ref_freq), max_peaks, n_bins,
-                                harmonics, float(window_size), whitening))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_hpcp_jax(jnp.asarray(yp), sr, frame_size, hop_length,
+                               float(min_freq), float(max_freq),
+                               float(ref_freq), max_peaks, n_bins,
+                               harmonics, float(window_size), whitening))
+    return out[:n_frames_uncentered(L, frame_size, hop_length)]

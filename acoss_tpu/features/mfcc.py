@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acoss_tpu.features.spectral import (dct_matrix, frame_signal,
-                                         mel_filterbank)
+from acoss_tpu.features.spectral import (bucket_pad_signal, dct_matrix,
+                                         frame_signal, mel_filterbank,
+                                         n_frames_centered,
+                                         n_frames_uncentered)
 
 
 def _hamming(n: int) -> np.ndarray:
@@ -51,9 +53,11 @@ def mfcc_htk(y: np.ndarray, sr: int = 44100, window_length: int = 22050,
              hop_length: int = 512, n_mfcc: int = 13, n_mels: int = 26,
              fmax: int = 8000, lifterexp: int = 22) -> np.ndarray:
     """(n_mfcc, n_frames) HTK-style MFCCs."""
-    y = jnp.asarray(np.asarray(y, dtype=np.float32))
-    return np.asarray(_mfcc_htk_jax(y, sr, window_length, hop_length,
-                                    n_mfcc, n_mels, fmax, lifterexp))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_mfcc_htk_jax(jnp.asarray(yp), sr, window_length,
+                                   hop_length, n_mfcc, n_mels, fmax,
+                                   lifterexp))
+    return out[:, :n_frames_uncentered(L, window_length, hop_length)]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -85,6 +89,8 @@ def mfcc_librosa(y: np.ndarray, sr: int = 44100,
                  n_mfcc: int = 20, n_mels: int = 40, fmax: int = 8000,
                  lifterexp: float = 0.6) -> np.ndarray:
     """(n_mfcc, n_frames) librosa-style MFCCs with power liftering."""
-    y = jnp.asarray(np.asarray(y, dtype=np.float32))
-    return np.asarray(_mfcc_librosa_jax(y, sr, window_length, hop_length,
-                                        n_mfcc, n_mels, fmax, lifterexp))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_mfcc_librosa_jax(jnp.asarray(yp), sr, window_length,
+                                       hop_length, n_mfcc, n_mels, fmax,
+                                       lifterexp))
+    return out[:, :n_frames_centered(L, hop_length)]

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from acoss_tpu.features.rhythm import tempogram
-from acoss_tpu.features.spectral import mel_filterbank, stft
+from acoss_tpu.features.spectral import (bucket_pad_signal, mel_filterbank,
+                                         n_frames_centered, stft)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -56,9 +57,11 @@ def onset_strength(y: np.ndarray, sr: int = 44100, n_fft: int = 2048,
                    max_size: int = 3, lag: int = 1) -> np.ndarray:
     """Superflux-style onset envelope, one value per hop frame
     (`features.py:66-77`)."""
-    y = jnp.asarray(np.asarray(y, dtype=np.float32))
-    return np.asarray(_onset_strength_jax(y, sr, n_fft, hop_length,
-                                          n_mels, max_size, lag))
+    yp, L = bucket_pad_signal(y)
+    out = np.asarray(_onset_strength_jax(jnp.asarray(yp), sr, n_fft,
+                                         hop_length, n_mels, max_size,
+                                         lag))
+    return out[:n_frames_centered(L, hop_length)]
 
 
 def estimate_tempo(oenv: np.ndarray, sr: int = 44100,

@@ -16,17 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("win_length",))
-def _tempogram_jax(oenv: jax.Array, win_length: int) -> jax.Array:
-    L = oenv.shape[-1]
-    half = win_length // 2
-    # librosa pads with a linear ramp down to 0 at the edges.
-    padded = jnp.concatenate([
-        jnp.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
-        oenv,
-        jnp.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
-    ])
-    idx = jnp.arange(L)[:, None] + jnp.arange(win_length)[None, :]
+SHAPE_BUCKET = 4096  # envelope lengths are padded to a multiple of this
+                     # so a corpus compiles O(few) shapes, not O(n_songs)
+
+
+@functools.partial(jax.jit, static_argnames=("win_length", "n_frames"))
+def _tempogram_jax(padded: jax.Array, win_length: int,
+                   n_frames: int) -> jax.Array:
+    idx = jnp.arange(n_frames)[:, None] + jnp.arange(win_length)[None, :]
     frames = padded[idx]                                   # (L, win)
     window = jnp.asarray(np.hanning(win_length).astype(np.float32))
     frames = frames * window[None, :]
@@ -47,4 +44,21 @@ def tempogram(onset_envelope: np.ndarray, win_length: int = 384,
     autocorrelation itself only depends on the envelope and win_length.
     """
     oenv = np.ascontiguousarray(onset_envelope, dtype=np.float32).ravel()
-    return np.asarray(_tempogram_jax(oenv, win_length))
+    L = oenv.size
+    half = win_length // 2
+    # librosa pads with a linear ramp down to 0 at the edges (host side),
+    # then zero-pad to a shape bucket: frame t < L only reads the ramped
+    # region (t + win - 1 <= L - 1 + 2*half < len(ramped)), so bucketing
+    # is exact.
+    ramped = np.concatenate([
+        np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
+        oenv,
+        np.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
+    ]).astype(np.float32)
+    pad_to = -(-(L + SHAPE_BUCKET) // SHAPE_BUCKET) * SHAPE_BUCKET
+    padded = np.zeros(pad_to + win_length, dtype=np.float32)
+    padded[:len(ramped)] = ramped
+    n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
+    out = np.asarray(_tempogram_jax(jnp.asarray(padded), win_length,
+                                    n_frames))
+    return out[:, :L]

@@ -74,6 +74,31 @@ def dct_matrix(n_out: int, n_in: int, ortho: bool = True) -> np.ndarray:
     return M.astype(np.float32)
 
 
+#: waveforms are zero-padded to a multiple of this many samples before
+#: the jitted transforms, so a corpus compiles O(few) distinct shapes
+#: instead of one per song (~47 s at 44.1 kHz). Exact: all framing paths
+#: use constant(zero) padding, and callers crop to the true frame count.
+SHAPE_BUCKET_SAMPLES = 2 ** 21
+
+
+def bucket_pad_signal(y: np.ndarray, multiple: int = SHAPE_BUCKET_SAMPLES):
+    """(padded float32 signal, true length)."""
+    y = np.ascontiguousarray(y, dtype=np.float32).ravel()
+    L = y.size
+    pad_to = max(-(-L // multiple) * multiple, multiple)
+    out = np.zeros(pad_to, dtype=np.float32)
+    out[:L] = y
+    return out, L
+
+
+def n_frames_centered(L: int, hop_length: int) -> int:
+    return 1 + L // hop_length
+
+
+def n_frames_uncentered(L: int, frame_length: int, hop_length: int) -> int:
+    return max(1 + (L - frame_length) // hop_length, 0)
+
+
 def frame_signal(y: jax.Array, frame_length: int, hop_length: int,
                  center: bool = True, pad_mode: str = "constant"):
     """(T,) -> (n_frames, frame_length)."""

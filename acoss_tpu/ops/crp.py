@@ -265,3 +265,17 @@ def chrompwr(X: jax.Array, P: float = 0.5, axis: int = -1) -> jax.Array:
     nUP = jnp.sqrt(jnp.sum(UP * UP, axis=axis, keepdims=True))
     nUP = jnp.where(nUP == 0, 1.0, nUP)
     return UP / nUP * nX
+
+
+def chrompwr_np(X, P: float = 0.5, axis: int = -1):
+    """Host-numpy `chrompwr` (descriptor extraction calls this once per
+    song; an eager device call would pay a tunnel roundtrip each)."""
+    import numpy as _np
+    X = _np.asarray(X, dtype=_np.float64)
+    nX = _np.sqrt(_np.sum(X * X, axis=axis, keepdims=True))
+    safe = _np.where(nX == 0, 1.0, nX)
+    U = X / safe
+    UP = _np.abs(U) ** P * _np.sign(U)
+    nUP = _np.sqrt(_np.sum(UP * UP, axis=axis, keepdims=True))
+    nUP = _np.where(nUP == 0, 1.0, nUP)
+    return UP / nUP * nX

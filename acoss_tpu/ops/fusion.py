@@ -164,6 +164,7 @@ def get_S(W: jax.Array, K) -> jax.Array:
     return V / norm[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
 def snf_ws(Ws: jax.Array, K, niters: int = 20,
            reg_diag: bool = True) -> jax.Array:
     """Cross-diffusion of a stack of affinity matrices.
@@ -195,6 +196,7 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
     return jnp.mean(Ps, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
 def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True):
     """Full SNF from a stack of DISTANCE matrices
     (`SimilarityFusion.py:279-287`): W each, then cross-diffuse.
@@ -204,3 +206,17 @@ def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True):
     Ds = jnp.asarray(Ds)
     Ws = jax.vmap(lambda D: get_W(D, K))(Ds)
     return Ws, snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag)
+
+
+@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
+def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
+               length=None):
+    """`snf` over zero-padded distance matrices with a valid-prefix length:
+    affinities are masked to the valid block (zero rows/cols propagate
+    exactly through get_P/get_S/diffusion). One compile per padded shape —
+    use with bucket-padded inputs so a whole corpus compiles O(few) shapes
+    instead of one per song."""
+    Ds = jnp.asarray(Ds)
+    K = jnp.asarray(K, jnp.int32)
+    Ws = jax.vmap(lambda D: get_W(D, K, length=length))(Ds)
+    return snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag)

@@ -29,11 +29,27 @@ def sync_agg(X: np.ndarray, boundaries: np.ndarray,
     """
     L = X.shape[0]
     b = fix_frames(boundaries, L)
-    agg = np.median if aggregate == "median" else np.mean
+    if aggregate == "mean":
+        sums = np.add.reduceat(np.asarray(X, np.float64), b[:-1], axis=0)
+        counts = np.diff(b)
+        return sums / counts[:, None]
     out = np.empty((len(b) - 1, X.shape[1]), dtype=np.float64)
     for k in range(len(b) - 1):
-        out[k] = agg(X[b[k]:b[k + 1]], axis=0)
+        out[k] = np.median(X[b[k]:b[k + 1]], axis=0)
     return out
+
+
+def _uniform_median(X: np.ndarray, fac: int) -> np.ndarray:
+    """Median over fixed windows of `fac` frames (+ remainder window) —
+    the reshape fast path of `uniform_downsample`."""
+    L, d = X.shape
+    nfull = L // fac
+    out_full = np.median(
+        X[:nfull * fac].reshape(nfull, fac, d), axis=1)
+    if L % fac:
+        rem = np.median(X[nfull * fac:], axis=0, keepdims=True)
+        return np.concatenate([out_full, rem], axis=0)
+    return out_full
 
 
 def uniform_downsample(X: np.ndarray, fac: int,
@@ -41,6 +57,8 @@ def uniform_downsample(X: np.ndarray, fac: int,
     """Downsample (L, d) by aggregating windows of `fac` frames — the
     reference's `librosa.util.sync(X.T, np.arange(0, L, fac), ...)`
     (`Serra09.py:104`)."""
+    if aggregate == "median":
+        return _uniform_median(np.asarray(X), fac)
     return sync_agg(X, np.arange(0, X.shape[0], fac), aggregate)
 
 

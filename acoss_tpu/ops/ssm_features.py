@@ -87,9 +87,12 @@ def get_ssm_scatter_sequence(
     outs = []
     for c0 in range(0, len(starts), chunk):
         cs = starts[c0:c0 + chunk]
-        blocks = np.stack([mfcc[s:s + span] for s in cs]).astype(np.float32)
+        blocks = np.zeros((chunk, span, mfcc.shape[1]), dtype=np.float32)
+        for k, s0 in enumerate(cs):
+            blocks[k] = mfcc[s0:s0 + span]
+        # fixed chunk shape -> one compile; surplus rows are cropped
         outs.append(np.asarray(
-            _blocks_to_scatter(blocks, win, res, J, L)))
+            _blocks_to_scatter(blocks, win, res, J, L))[:len(cs)])
     return np.concatenate(outs, axis=0)
 
 
