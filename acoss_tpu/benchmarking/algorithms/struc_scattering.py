@@ -10,7 +10,7 @@ similarity exp(-||s1 - s2||^2) via one dense Gram
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,7 +16,6 @@ TPU-native re-design of the reference's CRP utilities
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

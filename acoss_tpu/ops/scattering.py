@@ -20,7 +20,6 @@ bitwise descriptors — features are re-derived for the whole corpus).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
