@@ -312,11 +312,21 @@ def benchmark(
     results_csv: str | None = None,
     checkpoint_path: str | None = None,
     verbose: bool = False,
+    n_buckets: int = 1,
 ) -> dict[str, EvalStats]:
-    """End-to-end: descriptors -> pair sweep -> retrieval metrics (+CSV)."""
-    desc = algorithm.extract_descriptors(fs)
-    Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
-                      checkpoint_path=checkpoint_path, verbose=verbose)
+    """End-to-end: descriptors -> pair sweep -> retrieval metrics (+CSV).
+
+    n_buckets > 1 uses the length-bucketed sweep (recommended for corpora
+    with a wide song-length spread; not combined with checkpointing yet).
+    """
+    if n_buckets > 1 and algorithm.full_scores is None:
+        desc = algorithm.extract_descriptors(fs)  # for post_process only
+        Ds = run_pairwise_bucketed(algorithm, fs, n_buckets=n_buckets,
+                                   tile=tile, verbose=verbose)
+    else:
+        desc = algorithm.extract_descriptors(fs)
+        Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
+                          checkpoint_path=checkpoint_path, verbose=verbose)
     Ds = algorithm.post_process(Ds, desc)
     out = {}
     for k, D in Ds.items():

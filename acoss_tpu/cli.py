@@ -42,7 +42,8 @@ def cmd_benchmark(args) -> int:
         if not args.no_checkpoint else None
     csv = f"results_{args.shortname}.csv"
     stats = benchmark(algo, fs, tile=args.tile, results_csv=csv,
-                      checkpoint_path=ckpt, verbose=True)
+                      checkpoint_path=ckpt, verbose=True,
+                      n_buckets=args.n_buckets)
     for k, s in stats.items():
         print(f"{algo.NAME}_{k}: MR={s.mr:.4g} MRR={s.mrr:.4g} "
               f"MDR={s.mdr:.4g} MAP={s.map:.4g} "
@@ -86,6 +87,9 @@ def main(argv=None) -> int:
     b.add_argument("-s", "--shortname", default="covers80")
     b.add_argument("-c", "--chroma_type", default="hpcp")
     b.add_argument("-t", "--tile", type=int, default=None)
+    b.add_argument("--n_buckets", type=int, default=1,
+                   help="length buckets for the sweep (>1 cuts padding "
+                        "waste on corpora with a wide length spread)")
     b.add_argument("--cachedir", default="cache")
     b.add_argument("--no-checkpoint", action="store_true")
     b.set_defaults(fn=cmd_benchmark)
