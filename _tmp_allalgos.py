@@ -1,4 +1,5 @@
-import time, numpy as np, json
+import time, numpy as np, json, sys
+sys.stdout = open("/root/repo/_allalgos_log.txt", "a", buffering=1)
 import jax, jax.numpy as jnp
 from acoss_tpu.data import make_synthetic_dataset
 from acoss_tpu.benchmarking.harness import benchmark

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from acoss_tpu.data.store import FeatureSet
-from acoss_tpu.features.rhythm import tempogram
+from acoss_tpu.features.rhythm import tempogram_aggregated
 from acoss_tpu.ops import crp, fusion
 from acoss_tpu.ops.segment import stack_memory, sync_agg
 
@@ -71,8 +71,13 @@ def structural_fused_w(
             h = prep(hpcp, "median")
             Ds.append(np.asarray(crp.get_csm_cosine(h, h)))
         elif name == "tempogram":
-            tg = tempogram(snovfn, tempogram_win).T
-            Ds.append(np.asarray(crp.get_ssm(prep(tg, "mean"))))
+            # mean beat-sync fused into the device tempogram program (the
+            # full (L, win) tempogram never crosses the host boundary)
+            tg_sync = tempogram_aggregated(snovfn, onsets, tempogram_win)
+            tg_sync = np.nan_to_num(tg_sync, nan=0.0, posinf=0.0,
+                                    neginf=0.0)
+            st = stack_memory(tg_sync, wins_per_block, 1).astype(np.float32)
+            Ds.append(np.asarray(crp.get_ssm(st)))
         else:
             raise ValueError(name)
     n = min(D.shape[0] for D in Ds)

@@ -14,9 +14,8 @@ import numpy as np
 
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
-from acoss_tpu.features.rhythm import tempogram
+from acoss_tpu.features.rhythm import tempogram_aggregated
 from acoss_tpu.ops import alignment, crp
-from acoss_tpu.ops.segment import uniform_downsample
 
 
 class TGAlg(CoverAlgorithm):
@@ -41,9 +40,9 @@ class TGAlg(CoverAlgorithm):
             for name, out, ln in (("novfn", rnn, nlen),
                                   ("snovfn", sflux, slen)):
                 env = fs.feature(name)[i, :ln[i], 0]
-                tg = tempogram(env, self.win_length).T   # (L, win)
-                out.append(uniform_downsample(
-                    tg, self.downsample_fac, "mean").astype(np.float32))
+                bounds = np.arange(0, ln[i], self.downsample_fac)
+                out.append(tempogram_aggregated(
+                    env, bounds, self.win_length).astype(np.float32))
         Lmax = max(x.shape[0] for x in rnn + sflux)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
         rnn_arr, rlen = pad_stack(rnn, pad_to)

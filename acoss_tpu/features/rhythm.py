@@ -62,3 +62,53 @@ def tempogram(onset_envelope: np.ndarray, win_length: int = 384,
     out = np.asarray(_tempogram_jax(jnp.asarray(padded), win_length,
                                     n_frames))
     return out[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("win_length", "n_frames",
+                                             "num_segments"))
+def _tempogram_segsum_jax(padded, seg_ids, win_length, n_frames,
+                          num_segments):
+    tg = _tempogram_jax(padded, win_length, n_frames)      # (win, L)
+    sums = jax.ops.segment_sum(tg.T, seg_ids, num_segments=num_segments)
+    return sums                                            # (S, win)
+
+
+def tempogram_aggregated(onset_envelope: np.ndarray,
+                         boundaries: np.ndarray,
+                         win_length: int = 384) -> np.ndarray:
+    """Mean-aggregated tempogram between boundary frames, computed WITHOUT
+    reading the full (L, win) tempogram back to the host (the aggregation
+    — a segment-sum — runs inside the same device program; only the
+    (n_segments, win) result crosses the wire).
+
+    Equivalent to `sync_agg(tempogram(env).T, boundaries, "mean")`.
+    Returns (n_segments, win_length).
+    """
+    from acoss_tpu.ops.segment import fix_frames
+
+    oenv = np.ascontiguousarray(onset_envelope, dtype=np.float32).ravel()
+    L = oenv.size
+    b = fix_frames(boundaries, L)
+    n_seg = len(b) - 1
+    seg_of_frame = np.zeros(L, dtype=np.int32)
+    seg_of_frame[b[1:-1]] = 1
+    seg_of_frame = np.cumsum(seg_of_frame).astype(np.int32)
+    counts = np.diff(b).astype(np.float64)
+
+    half = win_length // 2
+    ramped = np.concatenate([
+        np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
+        oenv,
+        np.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
+    ]).astype(np.float32)
+    pad_to = -(-(L + SHAPE_BUCKET) // SHAPE_BUCKET) * SHAPE_BUCKET
+    padded = np.zeros(pad_to + win_length, dtype=np.float32)
+    padded[:len(ramped)] = ramped
+    n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
+    seg_ids = np.full(n_frames, n_seg, dtype=np.int32)   # pad -> junk seg
+    seg_ids[:L] = seg_of_frame
+    nseg_pad = -(-(n_seg + 1) // 64) * 64                # few static shapes
+    sums = np.asarray(_tempogram_segsum_jax(
+        jnp.asarray(padded), jnp.asarray(seg_ids), win_length, n_frames,
+        nseg_pad))
+    return sums[:n_seg] / counts[:, None]
