@@ -89,11 +89,22 @@ def main():
     tpu_time = (min(tns) - min(t1s)) / (NITER - 1)
     tpu_pps = BATCH / tpu_time
 
-    # Sanity: TPU and CPU agree on the scored pairs.
+    # Sanity: TPU and CPU agree on the scored pairs — for ALL THREE
+    # alignment kernels (this runs on real hardware every round).
+    from acoss_tpu.ops.alignment import (dmax_batch_best,
+                                         swconstrained_batch_best)
     out = np.asarray(qmax_batch_best(Sd, ml, nl))
-    cpu_scores = np.array([
-        native.qmax_cpu(S[b, :m_len[b], :n_len[b]]) for b in range(4)])
-    np.testing.assert_allclose(out[:4], cpu_scores, atol=1e-3)
+    np.testing.assert_allclose(
+        out[:4], [native.qmax_cpu(S[b, :m_len[b], :n_len[b]])
+                  for b in range(4)], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(dmax_batch_best(Sd, ml, nl))[:4],
+        [native.dmax_cpu(S[b, :m_len[b], :n_len[b]]) for b in range(4)],
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(swconstrained_batch_best(Sd, ml, nl))[:4],
+        [native.swconstrained_cpu(S[b, :m_len[b], :n_len[b]])
+         for b in range(4)], atol=1e-3)
 
     result = {
         "metric": "qmax_pairs_per_sec_per_chip",
