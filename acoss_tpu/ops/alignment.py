@@ -257,18 +257,45 @@ swconstrained = _single(swconstrained_batch)
 swconstrained.__doc__ = "Single-pair constrained SW; see `swconstrained_batch`."
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+# Implementation selection for the *_best dispatchers.
+#   "auto"             — Pallas on a TPU backend, XLA scan elsewhere;
+#   "xla"              — always the XLA scan;
+#   "pallas"           — always the Pallas kernels (compiled);
+#   "pallas_interpret" — Pallas kernels in interpret mode (runs on CPU;
+#                        used by tests to cover the Pallas-inside-shard_map
+#                        combination without TPU hardware).
+_IMPL = "auto"
+
+
+def set_alignment_impl(impl: str) -> str:
+    """Set the dispatcher mode; returns the previous mode."""
+    global _IMPL
+    if impl not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown alignment impl {impl!r}")
+    prev, _IMPL = _IMPL, impl
+    return prev
+
+
+def _use_pallas() -> tuple[bool, bool]:
+    """-> (use_pallas, interpret)."""
+    if _IMPL == "xla":
+        return False, False
+    if _IMPL == "pallas":
+        return True, False
+    if _IMPL == "pallas_interpret":
+        return True, True
+    return jax.default_backend() == "tpu", False
 
 
 def qmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
                     gap_extension: float = 0.5):
     """qmax with the fastest available implementation: the Pallas
     row-streaming kernel on TPU (const-gap case), else the XLA scan."""
-    if gap_onset == gap_extension and _on_tpu():
+    pallas, interp = _use_pallas()
+    if gap_onset == gap_extension and pallas:
         from acoss_tpu.ops import alignment_pallas
         return alignment_pallas.qmax_batch_pallas(
-            S, m_len, n_len, gap=gap_onset)
+            S, m_len, n_len, gap=gap_onset, interpret=interp)
     return qmax_batch(S, m_len, n_len, gap_onset=gap_onset,
                       gap_extension=gap_extension)
 
@@ -277,10 +304,14 @@ def dmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
                     gap_extension: float = 0.5):
     """dmax with the fastest available implementation (see
     `qmax_batch_best`)."""
-    if gap_onset == gap_extension and _on_tpu():
+    pallas, interp = _use_pallas()
+    # gap <= 1.0 is required by the Pallas kernel's padding-decay argument
+    # (phantom cells accumulate skipped S values; the +1 match bonus must
+    # dominate) — out of range falls back to the length-masked XLA scan.
+    if gap_onset == gap_extension and gap_onset <= 1.0 and pallas:
         from acoss_tpu.ops import alignment_pallas
         return alignment_pallas.dmax_batch_pallas(
-            S, m_len, n_len, gap=gap_onset)
+            S, m_len, n_len, gap=gap_onset, interpret=interp)
     return dmax_batch(S, m_len, n_len, gap_onset=gap_onset,
                       gap_extension=gap_extension)
 
@@ -291,12 +322,17 @@ def swconstrained_batch_best(S, m_len, n_len, gap_opening: float = -0.5,
                              mismatch_score: float = -1.0):
     """Constrained SW with the fastest available implementation (Pallas
     row kernel on TPU, XLA scan elsewhere)."""
-    if _on_tpu():
+    pallas, interp = _use_pallas()
+    # The Pallas kernel's padding-decay argument needs non-positive
+    # mismatch/gap scores (phantom cells must never beat valid cells).
+    if (mismatch_score > 0 or gap_opening > 0 or gap_extension > 0):
+        pallas = False
+    if pallas:
         from acoss_tpu.ops import alignment_pallas
         return alignment_pallas.swconstrained_batch_pallas(
             S, m_len, n_len, gap_opening=gap_opening,
             gap_extension=gap_extension, match_score=match_score,
-            mismatch_score=mismatch_score)
+            mismatch_score=mismatch_score, interpret=interp)
     return swconstrained_batch(
         S, m_len, n_len, gap_opening=gap_opening,
         gap_extension=gap_extension, match_score=match_score,

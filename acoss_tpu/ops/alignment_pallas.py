@@ -173,7 +173,17 @@ def dmax_batch_pallas(S, m_len, n_len, gap: float = 0.5,
                       block_b: int = 128, block_t: int = 64,
                       interpret: bool = False):
     """Batched dmax on TPU; semantics of `alignment.dmax_batch` with
-    gap_onset == gap_extension == gap."""
+    gap_onset == gap_extension == gap.
+
+    Requires gap <= 1.0: phantom cells in padded rows accumulate skipped S
+    values (up to +2) before the gap is subtracted, so the decay argument
+    needs the +1 match bonus of the corresponding VALID cells to dominate.
+    `alignment.dmax_batch_best` falls back to the XLA scan out of range.
+    """
+    if gap > 1.0:
+        raise ValueError(
+            f"dmax_batch_pallas requires gap <= 1.0 (got {gap}); use "
+            "alignment.dmax_batch for larger gaps")
     return _run(_dmax_kernel, 6, S, m_len, n_len, gap, None, 4,
                 block_b, block_t, interpret)
 
@@ -236,7 +246,15 @@ def swconstrained_batch_pallas(S, m_len, n_len,
                                block_b: int = 128, block_t: int = 64,
                                interpret: bool = False):
     """Batched constrained SW on TPU; semantics of
-    `alignment.swconstrained_batch`."""
+    `alignment.swconstrained_batch`.
+
+    Requires mismatch_score <= 0 and non-positive gap deltas so phantom
+    padded cells strictly decay (see `alignment.swconstrained_batch_best`).
+    """
+    if mismatch_score > 0 or gap_opening > 0 or gap_extension > 0:
+        raise ValueError(
+            "swconstrained_batch_pallas requires non-positive mismatch and "
+            "gap scores; use alignment.swconstrained_batch otherwise")
     kernel = functools.partial(_sw_kernel, block_t, gap_opening,
                                gap_extension, match_score, mismatch_score)
 

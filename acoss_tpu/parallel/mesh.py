@@ -90,10 +90,16 @@ def sharded_pair_scores(
     row_desc = jax.device_put(desc, row_sharding)
     col_desc = jax.device_put(desc, col_sharding)
 
+    # check_vma=False: the per-block kernels may invoke Pallas
+    # (`pl.pallas_call` with a plain `jax.ShapeDtypeStruct` out_shape),
+    # which carries no varying-manual-axes annotation and fails shard_map's
+    # vma check at trace time on a TPU backend. The blocks are embarrassingly
+    # parallel (no collectives inside), so the check buys nothing here.
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("rows"), P("cols")),
         out_specs=P("rows", "cols"),
+        check_vma=False,
     )
     def block(row_d, col_d):
         nloc = jax.tree.leaves(col_d)[0].shape[0]

@@ -33,6 +33,29 @@ def test_sharded_matches_single_device(shape):
         np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril], atol=1e-5)
 
 
+def test_sharded_with_pallas_kernels_in_graph():
+    """The Pallas aligners must trace + run INSIDE shard_map (interpret
+    mode on CPU — covers the real-TPU mesh combination that crashed in
+    round 1 on shard_map's vma check)."""
+    from acoss_tpu.ops import alignment
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=5)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        mesh = make_pair_mesh(shape=(2, 4))
+        D_sh = sharded_pair_scores(algo.tile_scores, desc, fs.n_songs, mesh,
+                                   col_tile=2)
+    finally:
+        alignment.set_alignment_impl(prev)
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=8)
+    tril = np.tril_indices(fs.n_songs, -1)
+    for k in D_ref:
+        np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril], atol=1e-5)
+
+
 def test_process_sharding_matches_full(tmp_path):
     """3 simulated processes x file merge == single-process sweep."""
     from acoss_tpu.benchmarking.algorithms import Serra09
