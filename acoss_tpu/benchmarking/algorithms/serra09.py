@@ -131,10 +131,67 @@ class Serra09(CoverAlgorithm):
             return (Bc, Bm, Bs), l1e, l2e
         return (Bc, Bm), l1e, l2e
 
+    def _tile_crps_fused(self, row: dict, col: dict, interpret: bool):
+        """All (bi x bj) binary CRPs via the fused Pallas kernel
+        (`ops.crp_pallas`): chroma (OTI-rolled) and mfcc channels. Returns
+        the same (Bs, l1e, l2e) structure as the vmapped XLA path."""
+        from acoss_tpu.ops.crp_pallas import fused_binary_crp_batch
+
+        bi = row["length"].shape[0]
+        bj = col["length"].shape[0]
+        L = row["chroma"].shape[1]
+
+        if self.oti:
+            def rolled(r_ch, r_gc, c_gc):
+                return crp.transpose_chroma(r_ch, crp.get_oti(r_gc, c_gc))
+
+            Xch = jax.vmap(jax.vmap(rolled, in_axes=(None, None, 0)),
+                           in_axes=(0, 0, None))(
+                row["chroma"], row["gchroma"], col["gchroma"])
+        else:
+            Xch = jnp.broadcast_to(row["chroma"][:, None],
+                                   (bi, bj) + row["chroma"].shape[1:])
+        Ych = jnp.broadcast_to(col["chroma"][None],
+                               (bi, bj) + col["chroma"].shape[1:])
+        Xm = jnp.broadcast_to(row["mfcc"][:, None],
+                              (bi, bj) + row["mfcc"].shape[1:])
+        Ym = jnp.broadcast_to(col["mfcc"][None],
+                              (bi, bj) + col["mfcc"].shape[1:])
+        l1 = jnp.repeat(row["length"], bj)
+        l2 = jnp.tile(col["length"], bi)
+
+        def crps(X, Y):
+            S, l1e, l2e = fused_binary_crp_batch(
+                X.reshape((bi * bj,) + X.shape[2:]),
+                Y.reshape((bi * bj,) + Y.shape[2:]),
+                l1, l2, kappa=self.kappa, m=self.m, interpret=interpret)
+            return S.reshape(bi, bj, L, L), l1e, l2e
+
+        Bc, l1e, l2e = crps(Xch, Ych)
+        Bm, _, _ = crps(Xm, Ym)
+        Bs = (Bc, Bm)
+        if self.do_ssms:
+            # ssms descriptors (20736-dim) exceed VMEM for the fused
+            # kernel; that channel stays on the XLA binarize path.
+            def ssm_crp(r, c):
+                csm = crp.get_csm(r["ssms"], c["ssms"])
+                return crp.csm_to_binary_mutual(
+                    csm, self.kappa,
+                    r["length"] - self.m + 1, c["length"] - self.m + 1)
+
+            Bss = jax.vmap(jax.vmap(ssm_crp, in_axes=(None, 0)),
+                           in_axes=(0, None))(row, col)
+            Bs = Bs + (Bss,)
+        return Bs, l1e.reshape(bi, bj), l2e.reshape(bi, bj)
+
     def tile_scores(self, row: dict, col: dict) -> dict:
-        pair = jax.vmap(jax.vmap(self._pair_crps, in_axes=(None, 0)),
-                        in_axes=(0, None))
-        Bs, l1e, l2e = pair(row, col)
+        pallas, interp = alignment._use_pallas()
+        if pallas:
+            Bs, l1e, l2e = self._tile_crps_fused(row, col, interp)
+        else:
+            pair = jax.vmap(jax.vmap(self._pair_crps, in_axes=(None, 0)),
+                            in_axes=(0, None))
+            Bs, l1e, l2e = pair(row, col)
         nf = len(Bs)
         bi, bj, L, _ = Bs[0].shape
         S = jnp.concatenate([B.reshape(-1, L, L) for B in Bs])

@@ -1,0 +1,99 @@
+"""Parity tests for the fused CSM->sliding->binarize Pallas kernel
+(interpret mode on CPU) against the reference-parity XLA ops in crp.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acoss_tpu.ops import crp
+from acoss_tpu.ops.crp_pallas import fused_binary_crp_batch
+
+
+def _make(rng, B, L, d):
+    l1 = rng.integers(10, L + 1, B).astype(np.int32)
+    l2 = rng.integers(10, L + 1, B).astype(np.int32)
+    X = rng.standard_normal((B, L, d)).astype(np.float32)
+    Y = rng.standard_normal((B, L, d)).astype(np.float32)
+    for b in range(B):
+        X[b, l1[b]:] = 0
+        Y[b, l2[b]:] = 0
+    return X, Y, l1, l2
+
+
+def _xla_ref(X, Y, l1, l2, kappa, m, metric, mutual):
+    csm_fn = crp.get_csm_cosine if metric == "cosine" else crp.get_csm
+    out = []
+    for b in range(X.shape[0]):
+        csm = csm_fn(jnp.asarray(X[b]), jnp.asarray(Y[b]))
+        if m > 1:
+            csm = crp.sliding_csm_padded(csm, m)
+        l1e = max(int(l1[b]) - m + 1, 0)
+        l2e = max(int(l2[b]) - m + 1, 0)
+        fn = crp.csm_to_binary_mutual if mutual else crp.csm_to_binary
+        out.append(np.asarray(fn(csm, kappa, l1e, l2e)))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("metric,mutual,m", [
+    ("sqeuclidean", True, 9),
+    ("sqeuclidean", False, 9),
+    ("sqeuclidean", True, 1),
+    ("cosine", False, 1),
+    ("cosine", True, 5),
+])
+def test_fused_matches_xla(rng, metric, mutual, m):
+    B, L, d, kappa = 5, 64, 12, 0.095
+    X, Y, l1, l2 = _make(rng, B, L, d)
+    S, l1e, l2e = fused_binary_crp_batch(
+        X, Y, l1, l2, kappa=kappa, m=m, metric=metric, mutual=mutual,
+        interpret=True)
+    R = _xla_ref(X, Y, l1, l2, kappa, m, metric, mutual)
+    np.testing.assert_array_equal(np.asarray(S), R)
+    np.testing.assert_array_equal(np.asarray(l1e),
+                                  np.maximum(l1 - m + 1, 0))
+    np.testing.assert_array_equal(np.asarray(l2e),
+                                  np.maximum(l2 - m + 1, 0))
+
+
+def test_fused_odd_batch_padding(rng):
+    """B not a multiple of the per-step pair count exercises the padding."""
+    B, L, d = 3, 32, 6
+    X, Y, l1, l2 = _make(rng, B, L, d)
+    S, _, _ = fused_binary_crp_batch(X, Y, l1, l2, kappa=0.2, m=3,
+                                     interpret=True)
+    R = _xla_ref(X, Y, l1, l2, 0.2, 3, "sqeuclidean", True)
+    np.testing.assert_array_equal(np.asarray(S), R)
+
+
+def test_fused_zero_length_pair(rng):
+    B, L, d = 2, 32, 6
+    X, Y, l1, l2 = _make(rng, B, L, d)
+    l1[1] = 0
+    X[1] = 0
+    S, _, _ = fused_binary_crp_batch(X, Y, l1, l2, kappa=0.1, m=9,
+                                     interpret=True)
+    assert np.asarray(S)[1].sum() == 0
+
+
+def test_serra_tile_scores_fused_matches_xla():
+    """The full Serra09 tile through the fused kernel == the XLA path."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.data import make_synthetic_dataset
+    from acoss_tpu.ops import alignment
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=7)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+    row = {k: v[:4] for k, v in desc.items()}
+    col = {k: v[4:8] for k, v in desc.items()}
+
+    out_x = jax.jit(algo.tile_scores)(row, col)
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        out_p = jax.jit(algo.tile_scores)(row, col)
+    finally:
+        alignment.set_alignment_impl(prev)
+    for k in out_x:
+        np.testing.assert_allclose(np.asarray(out_p[k]),
+                                   np.asarray(out_x[k]), atol=1e-5)
