@@ -12,9 +12,12 @@ Parity target: `/root/reference/benchmarking/ChenFusion.py:17-109`:
 
 NOTE on the delay embedding: the reference's
 `librosa.feature.stack_memory(chroma, self.tau, self.m)` binds
-n_steps=tau=1, delay=m — an effective identity (no stacking). We default to
-the intended Chen 2017 embedding (n_steps=m, delay=tau); pass
-`stack_n_steps=1` to reproduce the reference's literal behavior.
+n_steps=tau=1, delay=m — an effective identity (no stacking). The DEFAULT
+here reproduces that literal behavior (stack_n_steps=1) so covers80
+numbers are comparable with upstream; pass `stack_n_steps=None` (or m) to
+opt into the intended Chen 2017 embedding (n_steps=m, delay=tau). The
+`sequential` flag likewise pins the late-SNF update order to the
+reference's aliasing artifact (see `fusion.snf_ws`).
 """
 
 from __future__ import annotations
@@ -38,19 +41,22 @@ class ChenFusion(CoverAlgorithm):
 
     def __init__(self, chroma_type: str = "hpcp", oti: bool = True,
                  kappa: float = 0.095, tau: int = 1, m: int = 9,
-                 downsample_fac: int = 40, stack_n_steps: int | None = None,
+                 downsample_fac: int = 40, stack_n_steps: int | None = 1,
                  late_K: int = 20, late_niters: int = 20,
-                 pad_to_multiple: int = 64):
+                 pad_to_multiple: int = 64, sequential: bool = True):
         self.chroma_type = chroma_type
         self.oti = oti
         self.kappa = kappa
         self.tau = tau
         self.m = m
         self.downsample_fac = downsample_fac
+        # stack_n_steps=1 == the reference's literal (no-op) stack_memory
+        # call; None selects the intended Chen 2017 embedding (n_steps=m).
         self.stack_n_steps = m if stack_n_steps is None else stack_n_steps
         self.late_K = late_K
         self.late_niters = late_niters
         self.pad_to_multiple = pad_to_multiple
+        self.sequential = sequential
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
         stacked, gchromas = [], []
@@ -101,7 +107,8 @@ class ChenFusion(CoverAlgorithm):
         # Late SNF fusion of the distance matrices (`ChenFusion.py:82-85`).
         stackD = jnp.stack([out["qmax"], out["dmax"]])
         _, late = fusion.snf(stackD, K=self.late_K,
-                             niters=self.late_niters, reg_diag=True)
+                             niters=self.late_niters, reg_diag=True,
+                             sequential=self.sequential)
         # Negate the per-kernel matrices so larger = closer again.
         result = {k: -v for k, v in out.items()}
         result["Late"] = np.asarray(late, dtype=np.float32)

@@ -168,6 +168,7 @@ def _row_knn_mask(
     n_neighbs: jax.Array,
     col_valid: jax.Array | None,
     k_static_max: int,
+    exact: bool = True,
 ) -> jax.Array:
     """Per-row k-nearest-neighbor membership via rank threshold.
 
@@ -183,12 +184,18 @@ def _row_knn_mask(
     big = jnp.asarray(jnp.finfo(D.dtype).max, D.dtype)
     Dm = D if col_valid is None else jnp.where(col_valid[None, :], D, big)
     kmax = min(max(k_static_max, 1), N)
-    # TPU-native selection: approx_min_k is ~2.4x faster than top_k here
-    # and exact at these row widths (recall target 0.999; misses would only
-    # perturb tie-adjacent neighbors, which the reference's argpartition
-    # also breaks arbitrarily).
-    smallest, _ = jax.lax.approx_min_k(Dm, kmax, recall_target=0.999)
-    smallest = jnp.sort(smallest, axis=1)            # ascending k smallest
+    if exact:
+        # lax.top_k of -D: EXACT k smallest, already ascending when negated.
+        neg, _ = jax.lax.top_k(-Dm, kmax)
+        smallest = -neg
+    else:
+        # approx_min_k is ~2.4x faster on TPU but its bin-collision misses
+        # can drop arbitrary members of the true kNN set (not just ties) —
+        # opt-in for throughput-over-parity runs only. (The TPU production
+        # path uses the exact fused Pallas binarizer in crp_pallas.py;
+        # this XLA path serves CPU runs and huge-dim descriptors.)
+        smallest, _ = jax.lax.approx_min_k(Dm, kmax, recall_target=0.999)
+        smallest = jnp.sort(smallest, axis=1)        # ascending k smallest
     k = jnp.clip(n_neighbs, 1, kmax)
     thresh = jnp.take_along_axis(
         smallest, jnp.broadcast_to(k[None] - 1, (M, 1)), axis=1)
@@ -201,6 +208,7 @@ def csm_to_binary(
     kappa: float,
     row_length: jax.Array | None = None,
     col_length: jax.Array | None = None,
+    exact: bool = True,
 ) -> jax.Array:
     """Binarize a CSM by per-row nearest neighbors.
 
@@ -227,7 +235,7 @@ def csm_to_binary(
         col_valid = None
         if col_length is not None:
             col_valid = jnp.arange(N) < col_length
-        B = _row_knn_mask(D, n_neighbs, col_valid, k_static_max)
+        B = _row_knn_mask(D, n_neighbs, col_valid, k_static_max, exact)
     if row_length is not None:
         B = B * (jnp.arange(M)[:, None] < row_length).astype(jnp.uint8)
     if col_length is not None:
@@ -240,13 +248,14 @@ def csm_to_binary_mutual(
     kappa: float,
     row_length: jax.Array | None = None,
     col_length: jax.Array | None = None,
+    exact: bool = True,
 ) -> jax.Array:
     """Mutual-kNN binarization: AND of row-kNN of D and row-kNN of D^T.
 
     Parity: `CRPUtils.py:201-219`.
     """
-    B1 = csm_to_binary(D, kappa, row_length, col_length)
-    B2 = csm_to_binary(D.T, kappa, col_length, row_length)
+    B1 = csm_to_binary(D, kappa, row_length, col_length, exact)
+    B2 = csm_to_binary(D.T, kappa, col_length, row_length, exact)
     return B1 * B2.T
 
 

@@ -164,15 +164,25 @@ def get_S(W: jax.Array, K) -> jax.Array:
     return V / norm[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
+@functools.partial(
+    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
 def snf_ws(Ws: jax.Array, K, niters: int = 20,
-           reg_diag: bool = True) -> jax.Array:
+           reg_diag: bool = True, sequential: bool = False) -> jax.Array:
     """Cross-diffusion of a stack of affinity matrices.
 
     Parity: `SimilarityFusion.py:202-277`:
       P_i <- S_i . mean(P_k, k != i) . S_i^T  for `niters` iterations,
       then average. With reg_diag, each iterate is re-regularized as
       0.5 I + 0.5 rownorm(offdiag).
+
+    Update order: the default is a JACOBI sweep (every P_i advances from
+    the previous iterate — the update rule the SNF paper states). The
+    reference deviates from its own rule by an aliasing artifact: after
+    iteration 1 it rebinds `Pts = nextPts` (`SimilarityFusion.py:272`), so
+    iterations >= 2 update the matrices IN PLACE in index order
+    (Gauss-Seidel-like) — P_i sees already-updated P_j for j < i. Pass
+    `sequential=True` to replicate that behavior bit-for-bit on parity
+    runs (iteration 1 Jacobi, iterations >= 2 sequential).
 
     Args:
       Ws: (F, n, n) stacked affinity matrices.
@@ -184,20 +194,33 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
     Ps = jax.vmap(lambda W: get_P(W, reg_diag))(Ws)
     Ss = jax.vmap(lambda W: get_S(W, K))(Ws)
 
-    def body(Ps, _):
-        mean_others = (jnp.sum(Ps, axis=0)[None] - Ps) / max(F - 1, 1)
-        nxt = jnp.einsum("fij,fjk,flk->fil", Ss, mean_others, Ss,
+    def diffuse(S_i, mean_others):
+        nxt = jnp.einsum("ij,jk,lk->il", S_i, mean_others, S_i,
                          precision="highest")
-        if reg_diag:
-            nxt = jax.vmap(lambda P: get_P(P, True))(nxt)
-        return nxt, None
+        return get_P(nxt, True) if reg_diag else nxt
 
-    Ps, _ = jax.lax.scan(body, Ps, None, length=niters)
+    def body_jacobi(Ps, _):
+        mean_others = (jnp.sum(Ps, axis=0)[None] - Ps) / max(F - 1, 1)
+        return jax.vmap(diffuse)(Ss, mean_others), None
+
+    def body_seq(Ps, _):
+        for i in range(F):
+            mean_others = (jnp.sum(Ps, axis=0) - Ps[i]) / max(F - 1, 1)
+            Ps = Ps.at[i].set(diffuse(Ss[i], mean_others))
+        return Ps, None
+
+    if sequential and niters > 0:
+        Ps, _ = body_jacobi(Ps, None)
+        Ps, _ = jax.lax.scan(body_seq, Ps, None, length=niters - 1)
+    else:
+        Ps, _ = jax.lax.scan(body_jacobi, Ps, None, length=niters)
     return jnp.mean(Ps, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
-def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True):
+@functools.partial(
+    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
+def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True,
+        sequential: bool = False):
     """Full SNF from a stack of DISTANCE matrices
     (`SimilarityFusion.py:279-287`): W each, then cross-diffuse.
 
@@ -205,12 +228,14 @@ def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True):
     """
     Ds = jnp.asarray(Ds)
     Ws = jax.vmap(lambda D: get_W(D, K))(Ds)
-    return Ws, snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag)
+    return Ws, snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag,
+                      sequential=sequential)
 
 
-@functools.partial(jax.jit, static_argnames=("niters", "reg_diag"))
+@functools.partial(
+    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
 def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
-               length=None):
+               length=None, sequential: bool = False):
     """`snf` over zero-padded distance matrices with a valid-prefix length:
     affinities are masked to the valid block (zero rows/cols propagate
     exactly through get_P/get_S/diffusion). One compile per padded shape —
@@ -219,4 +244,5 @@ def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
     Ds = jnp.asarray(Ds)
     K = jnp.asarray(K, jnp.int32)
     Ws = jax.vmap(lambda D: get_W(D, K, length=length))(Ds)
-    return snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag)
+    return snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag,
+                  sequential=sequential)

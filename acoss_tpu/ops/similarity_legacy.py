@@ -34,8 +34,18 @@ def optimal_transposition_index(chroma_a: np.ndarray,
     return int(np.argmax(scores))
 
 
-def transpose_by_oti(chroma_b: np.ndarray, oti: int = 0) -> np.ndarray:
-    """Circularly shift the chroma axis (`similarity.py:38-46`)."""
+def transpose_by_oti(chroma_b: np.ndarray, oti: int = 0,
+                     flat_roll: bool = False) -> np.ndarray:
+    """Circularly shift the chroma axis (`similarity.py:38-46`).
+
+    The reference calls `np.roll(chromaB, oti)` with NO axis, which rolls
+    the FLATTENED buffer — each row's last `oti` bins spill into the next
+    row. The default here rolls the chroma axis (the evident intent);
+    pass `flat_roll=True` to replicate the reference's literal behavior
+    for bitwise parity runs.
+    """
+    if flat_roll:
+        return np.roll(chroma_b, oti)
     return np.roll(chroma_b, oti, axis=1)
 
 

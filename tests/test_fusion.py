@@ -72,6 +72,25 @@ def snf_ws_np(Ws, K, niters, reg_diag=True):
     return sum(Ps) / F
 
 
+def snf_ws_seq_np(Ws, K, niters, reg_diag=True):
+    """The reference's ACTUAL update order (`SimilarityFusion.py:246-272`):
+    iteration 1 writes a fresh list (Jacobi), then `Pts = nextPts` aliases
+    the lists so later iterations update in place in index order."""
+    Ps = [get_p_np(W, reg_diag) for W in Ws]
+    Ss = [get_s_np(W, K) for W in Ws]
+    F = len(Ws)
+    for it in range(niters):
+        tgt = [None] * F if it == 0 else Ps
+        for i in range(F):
+            mean_others = sum(Ps[k] for k in range(F) if k != i) / (F - 1)
+            P = Ss[i] @ mean_others @ Ss[i].T
+            if reg_diag:
+                P = get_p_np(P, True)
+            tgt[i] = P
+        Ps = tgt
+    return sum(Ps) / F
+
+
 # ------------------------------------------------------------- tests -----
 
 
@@ -109,6 +128,20 @@ def test_snf_ws_matches_oracle(rng):
     want = snf_ws_np(Ws, K=5, niters=4)
     got = np.asarray(fusion.snf_ws(np.stack(Ws), K=5, niters=4))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_snf_ws_sequential_matches_reference_order(rng):
+    """sequential=True replicates the reference's Gauss-Seidel aliasing."""
+    n = 24
+    Ws = [get_w_np(np.abs(rng.standard_normal((n, n))) + 0.1, K=5)
+          for _ in range(3)]
+    Ws = [0.5 * (W + W.T) for W in Ws]
+    want = snf_ws_seq_np(Ws, K=5, niters=4)
+    got = np.asarray(fusion.snf_ws(np.stack(Ws), K=5, niters=4,
+                                   sequential=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    jacobi = np.asarray(fusion.snf_ws(np.stack(Ws), K=5, niters=4))
+    assert np.abs(jacobi - want).max() > 1e-7  # the orders really differ
 
 
 def test_snf_planted_structure(rng):
