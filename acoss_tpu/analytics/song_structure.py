@@ -47,7 +47,8 @@ def get_shape_dna(hpcp: np.ndarray, mfcc: np.ndarray,
     n = min(DChroma.shape[0], DMFCC.shape[0])
     K = max(int(round(n * 0.01)), 2)
     _, fused = fusion.snf(
-        np.stack([DChroma[:n, :n], DMFCC[:n, :n]]), K=K, niters=5)
+        np.stack([DChroma[:n, :n], DMFCC[:n, :n]]), K=K, niters=5,
+        sequential=True)
     W = np.asarray(resize(jnp.asarray(fused), (dim, dim)))
     return {"w": _rw_laplacian_eigvals(W, neigs), "W": W}
 

@@ -60,7 +60,8 @@ class EarlyFusion(CoverAlgorithm):
                  mfccs_per_block: int = 50, chromas_per_block: int = 40,
                  kappa: float = 0.1, K: int = 10,
                  late_K: int = 20, late_niters: int = 20,
-                 pad_to_multiple: int = 64):
+                 pad_to_multiple: int = 64, sequential: bool = True):
+        self.sequential = sequential
         self.chroma_type = chroma_type
         self.blocksize = blocksize
         self.mfccs_per_block = mfccs_per_block
@@ -149,10 +150,12 @@ class EarlyFusion(CoverAlgorithm):
         late_in = [1.0 / (1.0 + Ds[s])
                    for s in ("chromas", "ssms", "mfccs")]
         _, late = fusion.snf(np.stack(late_in), K=self.late_K,
-                             niters=self.late_niters, reg_diag=True)
+                             niters=self.late_niters, reg_diag=True,
+                             sequential=self.sequential)
         out["late"] = np.asarray(late, dtype=np.float32)
         _, el = fusion.snf(
             np.stack(late_in + [1.0 / (1.0 + Ds["early"])]),
-            K=self.late_K, niters=self.late_niters, reg_diag=True)
+            K=self.late_K, niters=self.late_niters, reg_diag=True,
+            sequential=self.sequential)
         out["early+late"] = np.asarray(el, dtype=np.float32)
         return out

@@ -31,12 +31,16 @@ class EarlySNF(Serra09):
                  kappa: float = 0.095, m: int = 9,
                  downsample_fac: int = 40, pad_to_multiple: int = 64,
                  snf_niters: int = 3, do_ssms: bool = True,
-                 ssm_win_mul: int = 2, ssm_res: int = 64):
+                 ssm_win_mul: int = 2, ssm_res: int = 64,
+                 sequential: bool = True):
         super().__init__(chroma_type=chroma_type, oti=oti, kappa=kappa,
                          m=m, downsample_fac=downsample_fac,
                          pad_to_multiple=pad_to_multiple, do_ssms=do_ssms,
                          ssm_win_mul=ssm_win_mul, ssm_res=ssm_res)
         self.snf_niters = snf_niters
+        # sequential=True pins the reference's in-place SNF update order
+        # (`fusion.snf_ws` docstring) for upstream-comparable numbers.
+        self.sequential = sequential
         self.SIMILARITY_TYPES = self.SIMILARITY_TYPES + (
             "snf_qmax", "snf_dmax")
 
@@ -65,7 +69,7 @@ class EarlySNF(Serra09):
             Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
                                          m_len=l1e, n_len=l2e))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
-                              reg_diag=True)
+                              reg_diag=True, sequential=self.sequential)
         Lp = csm_c.shape[0]
         cross = -fused[:Lp, Lp:]   # similarity -> "distance" for binarize
         Bsnf = crp.csm_to_binary_mutual(cross, self.kappa, l1e, l2e)

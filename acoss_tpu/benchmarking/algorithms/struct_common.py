@@ -41,6 +41,7 @@ def structural_fused_w(
     downsample_fac: int = 40,
     fuse_features: tuple = ("mfcc", "hpcp", "tempogram"),
     tempogram_win: int = 384,
+    sequential: bool = True,
 ):
     """Fused structural affinity matrix for song `i`.
 
@@ -90,7 +91,8 @@ def structural_fused_w(
     padded = np.zeros((len(Ds), npad, npad), dtype=np.float32)
     for k_, D in enumerate(Ds):
         padded[k_, :n, :n] = D[:n, :n]
-    WFused = fusion.snf_padded(padded, pK, niters=niters, length=n)
+    WFused = fusion.snf_padded(padded, pK, niters=niters, length=n,
+                               sequential=sequential)
     return np.asarray(WFused, dtype=np.float32)[:n, :n], onsets[:n]
 
 

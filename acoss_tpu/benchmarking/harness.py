@@ -230,13 +230,31 @@ def _pad_axis1(desc: dict, ref: dict) -> dict:
     return out
 
 
+def _merge_bucket_descs(descs: list[dict], inv: np.ndarray) -> dict:
+    """Concatenate per-bucket descriptor dicts back into caller song order
+    (axis-1 padded up to the widest bucket) so `post_process` can consume
+    them without a second whole-corpus extraction."""
+    out = {}
+    for k in descs[0]:
+        arrs = [d[k] for d in descs]
+        width = max(a.shape[1] for a in arrs if a.ndim >= 2) \
+            if arrs[0].ndim >= 2 else None
+        if width is not None:
+            arrs = [np.pad(a, [(0, 0), (0, width - a.shape[1])]
+                           + [(0, 0)] * (a.ndim - 2)) for a in arrs]
+        out[k] = np.concatenate(arrs, axis=0)[inv]
+    return out
+
+
 def run_pairwise_bucketed(
     algorithm: CoverAlgorithm,
     fs: FeatureSet,
     n_buckets: int = 4,
     tile: int | None = None,
     verbose: bool = False,
-) -> dict:
+    checkpoint_path: str | None = None,
+    return_desc: bool = False,
+):
     """Length-bucketed pair sweep: songs are grouped by length so a tile of
     pairs shares padding (the reference's ~10x song-length spread otherwise
     pads every pair to the global max — SURVEY.md section 5). Descriptors
@@ -249,24 +267,58 @@ def run_pairwise_bucketed(
     For a length-sorted FeatureSet the result equals `run_pairwise`
     exactly; otherwise the (arbitrary) orientation convention of symmetric
     scores is "row = longer song" instead of "row = larger index".
+
+    With `checkpoint_path`, a bucket-block ledger (which (bi, bj) blocks
+    are complete, plus the partial matrices) is saved after every block
+    and the sweep resumes from it — the bucketed analog of
+    `run_pairwise`'s tile ledger (`CoverAlgorithm.py:262-292`).
+
+    Returns Ds, or (Ds, merged_desc) when `return_desc` (merged_desc is
+    the per-bucket descriptors reassembled in caller order for
+    `post_process` — no second extraction pass).
     """
     tile = tile or algorithm.TILE
     lengths = np.asarray(algorithm.bucket_lengths(fs))
     perm = np.argsort(lengths, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
     fs = fs.subset(perm)
     edges = np.array_split(np.arange(fs.n_songs), n_buckets)
-    buckets = [(e, None) for e in edges if len(e)]
-    descs = []
-    for idx, _ in buckets:
-        descs.append(algorithm.extract_descriptors(fs.subset(idx)))
+    buckets = [e for e in edges if len(e)]
+    descs = [algorithm.extract_descriptors(fs.subset(idx))
+             for idx in buckets]
     tile_fn = jax.jit(algorithm.tile_scores)
     n = fs.n_songs
+    nb = len(buckets)
     Ds = {k: np.zeros((n, n), np.float32)
           for k in algorithm.SIMILARITY_TYPES}
-    for bi in range(len(buckets)):
-        idx_i, _ = buckets[bi]
+    done = np.zeros((nb, nb), dtype=bool)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            if (int(z["n_songs"]) == n and int(z["n_buckets"]) == nb
+                    and int(z["tile"]) == tile):
+                done = z["done"]
+                for k in Ds:
+                    Ds[k] = z[f"D::{k}"]
+
+    def save_ckpt():
+        if not checkpoint_path:
+            return
+        payload = {"done": done, "n_songs": n, "n_buckets": nb,
+                   "tile": tile}
+        for k, D in Ds.items():
+            payload[f"D::{k}"] = D
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, checkpoint_path)
+
+    for bi in range(nb):
+        idx_i = buckets[bi]
         for bj in range(bi + 1):
-            idx_j, _ = buckets[bj]
+            if done[bi, bj]:
+                continue
+            idx_j = buckets[bj]
             if bi == bj:
                 sub = _sweep_block(tile_fn, descs[bi], descs[bi],
                                    len(idx_i), len(idx_i),
@@ -290,8 +342,10 @@ def run_pairwise_bucketed(
                                         lower_only=False)
                     for k in Ds:
                         Ds[k][np.ix_(idx_j, idx_i)] = sub2[k]
+            done[bi, bj] = True
+            save_ckpt()
         if verbose:
-            print(f"[{algorithm.NAME}] bucket-row {bi + 1}/{len(buckets)}")
+            print(f"[{algorithm.NAME}] bucket-row {bi + 1}/{nb}")
     if algorithm.SYMMETRIC:
         for k in Ds:
             tri = np.tril(Ds[k], -1)
@@ -300,9 +354,10 @@ def run_pairwise_bucketed(
         for k in Ds:
             np.fill_diagonal(Ds[k], 0.0)
     # unpermute back to the caller's song order
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(len(perm))
-    return {k: D[np.ix_(inv, inv)] for k, D in Ds.items()}
+    Ds = {k: D[np.ix_(inv, inv)] for k, D in Ds.items()}
+    if return_desc:
+        return Ds, _merge_bucket_descs(descs, inv)
+    return Ds
 
 
 def benchmark(
@@ -317,12 +372,13 @@ def benchmark(
     """End-to-end: descriptors -> pair sweep -> retrieval metrics (+CSV).
 
     n_buckets > 1 uses the length-bucketed sweep (recommended for corpora
-    with a wide song-length spread; not combined with checkpointing yet).
+    with a wide song-length spread); both sweeps checkpoint/resume when
+    `checkpoint_path` is given.
     """
     if n_buckets > 1 and algorithm.full_scores is None:
-        desc = algorithm.extract_descriptors(fs)  # for post_process only
-        Ds = run_pairwise_bucketed(algorithm, fs, n_buckets=n_buckets,
-                                   tile=tile, verbose=verbose)
+        Ds, desc = run_pairwise_bucketed(
+            algorithm, fs, n_buckets=n_buckets, tile=tile, verbose=verbose,
+            checkpoint_path=checkpoint_path, return_desc=True)
     else:
         desc = algorithm.extract_descriptors(fs)
         Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,

@@ -2,9 +2,14 @@
 
 Mirrors the reference's CLI surface with its flag names:
 - `python -m acoss_tpu.cli benchmark -a Serra09 -d <features> -s covers80
-   -c hpcp [-t tile] [-b] [--mesh RxC]` — the per-algorithm `__main__`
-  analog (e.g. `Serra09.py:198-244`); `-d` accepts either a FeatureSet
-  .npz or a directory of reference-format per-track h5 files.
+   -c hpcp [-t tile] [--n_buckets N] [--mesh RxC]
+   [--num-processes N --process-id I] [--merge]` — the per-algorithm
+  `__main__` analog (e.g. `Serra09.py:198-244`): `--mesh` shards the pair
+  grid over a device mesh, `--num-processes/--process-id` runs one
+  process shard writing a partial file (the reference's `-r` array-job
+  mode), `--merge` aggregates partials (the reference's `-b`). `-d`
+  accepts either a FeatureSet .npz or a directory of reference-format
+  per-track h5 files.
 - `python -m acoss_tpu.cli extract -i <audio dir or collection txt> -o
    <features.npz> [-m cpu] [-n N]` — the `extractors.py:117-154` analog.
 """
@@ -26,7 +31,26 @@ def _load_featureset(datapath: str):
     return FeatureSet.load(datapath)
 
 
+def _eval_and_report(algo, Ds, desc, fs, csv):
+    from acoss_tpu.benchmarking.evaluation import (eval_statistics,
+                                                   write_results_csv)
+
+    Ds = algo.post_process(Ds, desc)
+    for k, D in Ds.items():
+        S = -D if k in algo.DISTANCE_TYPES else D
+        s = eval_statistics(S, fs.labels)
+        print(f"{algo.NAME}_{k}: MR={s.mr:.4g} MRR={s.mrr:.4g} "
+              f"MDR={s.mdr:.4g} MAP={s.map:.4g} "
+              f"Top-1={s.tops.get(1)} Top-10={s.tops.get(10)}")
+        if csv:
+            write_results_csv(csv, algo.NAME, k, s)
+    if csv:
+        print(f"results appended to {csv}")
+
+
 def cmd_benchmark(args) -> int:
+    import numpy as np
+
     from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS
     from acoss_tpu.benchmarking.harness import benchmark
 
@@ -37,10 +61,60 @@ def cmd_benchmark(args) -> int:
     algo = cls(**kwargs)
     fs = _load_featureset(args.datapath)
     os.makedirs(args.cachedir, exist_ok=True)
+    csv = f"results_{args.shortname}.csv"
+
+    if args.merge:
+        # Aggregation run: scatter-add the partial-score files written by
+        # the per-process shards (the reference's `-b` / `load_batches`).
+        import glob as _glob
+
+        from acoss_tpu.parallel.distributed import merge_partials
+
+        paths = sorted(_glob.glob(os.path.join(
+            args.partial_dir, f"{algo.NAME}_part_*.npz")))
+        if not paths:
+            print(f"no partial files under {args.partial_dir}",
+                  file=sys.stderr)
+            return 1
+        print(f"merging {len(paths)} partial files")
+        Ds = merge_partials(paths, symmetric=algo.SYMMETRIC)
+        desc = algo.extract_descriptors(fs)
+        _eval_and_report(algo, Ds, desc, fs, csv)
+        return 0
+
+    if args.num_processes > 1:
+        # One shard of a multi-process sweep (the reference's `-r`): write
+        # a partial file; a later --merge run aggregates and evaluates.
+        from acoss_tpu.parallel.distributed import run_process_shard
+
+        desc = algo.extract_descriptors(fs)
+        path = run_process_shard(algo, desc, fs.n_songs, args.process_id,
+                                 args.num_processes, args.partial_dir,
+                                 tile=args.tile, verbose=True)
+        print(f"partial scores written to {path}")
+        return 0
+
+    if args.mesh:
+        # Mesh-sharded sweep: every device owns a block of the pair grid.
+        from acoss_tpu.parallel import make_pair_mesh, sharded_pair_scores
+
+        r, c = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_pair_mesh(shape=(r, c))
+        desc = algo.extract_descriptors(fs)
+        Ds = sharded_pair_scores(algo.tile_scores, desc, fs.n_songs, mesh,
+                                 col_tile=args.tile or algo.TILE)
+        if algo.SYMMETRIC:
+            Ds = {k: np.tril(D, -1) + np.tril(D, -1).T
+                  for k, D in Ds.items()}
+        else:
+            for D in Ds.values():
+                np.fill_diagonal(D, 0.0)
+        _eval_and_report(algo, Ds, desc, fs, csv)
+        return 0
+
     ckpt = os.path.join(
         args.cachedir, f"{algo.NAME}_{args.shortname}_ckpt.npz") \
         if not args.no_checkpoint else None
-    csv = f"results_{args.shortname}.csv"
     stats = benchmark(algo, fs, tile=args.tile, results_csv=csv,
                       checkpoint_path=ckpt, verbose=True,
                       n_buckets=args.n_buckets)
@@ -92,6 +166,19 @@ def main(argv=None) -> int:
                         "waste on corpora with a wide length spread)")
     b.add_argument("--cachedir", default="cache")
     b.add_argument("--no-checkpoint", action="store_true")
+    b.add_argument("--mesh", default=None, metavar="RxC",
+                   help="shard the pair grid over an RxC device mesh "
+                        "(e.g. 2x4)")
+    b.add_argument("--num-processes", type=int, default=1,
+                   help="total processes in a multi-process sweep (the "
+                        "reference's array-job sharding, Serra09.py:210)")
+    b.add_argument("--process-id", type=int, default=0,
+                   help="this process's shard index (0-based)")
+    b.add_argument("--partial-dir", default="partials",
+                   help="directory for per-process partial score files")
+    b.add_argument("--merge", action="store_true",
+                   help="aggregate partial files from --partial-dir and "
+                        "evaluate (the reference's -b/load_batches)")
     b.set_defaults(fn=cmd_benchmark)
 
     e = sub.add_parser("extract", help="extract features from audio")

@@ -151,3 +151,47 @@ def test_bucketed_sweep_matches_global(dataset):
     D_ref = run_pairwise(algo, desc, ds.n_songs)
     D_b = run_pairwise_bucketed(algo, ds, n_buckets=3)
     np.testing.assert_allclose(D_b["main"], D_ref["main"], atol=2e-4)
+
+
+def test_bucketed_checkpoint_resume(dataset, tmp_path):
+    """Killing a bucketed sweep mid-run and resuming from the bucket-block
+    ledger yields the same matrices, and the merged descriptors match a
+    whole-corpus extraction."""
+    from acoss_tpu.benchmarking.harness import run_pairwise_bucketed
+
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4, pad_to_multiple=8)
+    ckpt = str(tmp_path / "bucket_ckpt.npz")
+    D_full, desc_m = run_pairwise_bucketed(algo, dataset, n_buckets=3,
+                                           return_desc=True)
+
+    # simulate an interrupted run: sweep only the first bucket block, save
+    # the ledger, then resume with a fresh call.
+    import acoss_tpu.benchmarking.harness as H
+    orig = H._sweep_block
+    calls = {"n": 0}
+
+    def limited(*a, **kw):
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    H._sweep_block = limited
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_pairwise_bucketed(algo, dataset, n_buckets=3,
+                                  checkpoint_path=ckpt)
+    finally:
+        H._sweep_block = orig
+    import os
+    assert os.path.exists(ckpt)
+    D_res = run_pairwise_bucketed(algo, dataset, n_buckets=3,
+                                  checkpoint_path=ckpt)
+    for k in D_full:
+        np.testing.assert_allclose(D_res[k], D_full[k], atol=1e-6)
+
+    # merged per-bucket descriptors cover the whole corpus in order
+    desc_ref = algo.extract_descriptors(dataset)
+    np.testing.assert_array_equal(desc_m["length"], desc_ref["length"])
+    np.testing.assert_allclose(desc_m["gchroma"], desc_ref["gchroma"],
+                               atol=1e-6)
