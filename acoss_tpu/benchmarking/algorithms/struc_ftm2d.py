@@ -21,9 +21,10 @@ import numpy as np
 from scipy import sparse
 
 from acoss_tpu.benchmarking.algorithms.struct_common import (
-    sparse_top_shingle, structural_fused_w)
+    sparse_top_shingle, structural_fused_w, structural_fused_w_all)
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.ops.structure import shingle_topk_batch
 
 
 class StrucFTM2D(CoverAlgorithm):
@@ -64,12 +65,32 @@ class StrucFTM2D(CoverAlgorithm):
         return sparse_top_shingle(flat, 5 * P)
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        idxs, vals = [], []
-        for i in range(fs.n_songs):
-            ix, v = self._song_shingle(fs, i)
-            idxs.append(ix)
-            vals.append(v)
-        return {"idx": idxs, "val": vals,
+        """Batched: fused W, 2D FFT, log normalization and the exact
+        top-(5 * PAD_LEN) truncation run on device per song chunk
+        (`ops/structure.shingle_topk_batch`); only the (idx, val) sparse
+        shingles cross back to the host."""
+        n_keep = 5 * self.PAD_LEN
+
+        def consume(Wb, lengths, onsets_list):
+            idx, val = shingle_topk_batch(Wb, lengths, self.PAD_LEN,
+                                          n_keep, self.DO_FFT)
+            idx = np.asarray(idx, np.int64)
+            val = np.asarray(val, np.float32)
+            outs = []
+            for b in range(idx.shape[0]):
+                keep = idx[b] >= 0
+                ix, v = idx[b][keep], val[b][keep]
+                order = np.argsort(ix)
+                outs.append((ix[order], v[order]))
+            return outs
+
+        shingles = structural_fused_w_all(
+            fs, self.chroma_type, self.wins_per_block, self.K,
+            self.niters, self.do_sync, self.downsample_fac,
+            fuse_features=self.FUSE_FEATURES,
+            tempogram_win=self.tempogram_win, consume=consume)
+        return {"idx": [s[0] for s in shingles],
+                "val": [s[1] for s in shingles],
                 "dim": self.PAD_LEN * self.PAD_LEN}
 
     def full_scores(self, desc: dict) -> dict:

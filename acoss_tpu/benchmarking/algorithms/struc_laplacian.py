@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acoss_tpu.benchmarking.algorithms.struct_common import structural_fused_w
+from acoss_tpu.benchmarking.algorithms.struct_common import (
+    structural_fused_w, structural_fused_w_all)
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
 from acoss_tpu.ops import alignment, crp
@@ -22,6 +23,7 @@ from acoss_tpu.ops.curvature import get_curv_vectors
 from acoss_tpu.ops.laplacian import (meet_matrix,
                                      random_walk_laplacian_eigs,
                                      spectral_cluster_sequential)
+from acoss_tpu.ops.structure import laplacian_profile_batch
 
 HOP_LENGTH = 512
 SR = 44100
@@ -49,6 +51,17 @@ class StrucLaplacian(CoverAlgorithm):
         self.downsample_fac = downsample_fac
         self.tempogram_win = tempogram_win
         self.pad_to_multiple = pad_to_multiple
+
+    def _profile_from_curve(self, X: np.ndarray) -> np.ndarray:
+        """SVD curve (nmeet, neigs) -> sliding-window velocity-magnitude
+        profile (`StrucLaplacian.py:138-152`)."""
+        curvs = np.array(get_curv_vectors(X, 3, 2))    # (4, n, d)
+        prof = np.sqrt(np.sum(curvs ** 2, axis=2)).T[:, 1]
+        if prof.size < self.m:
+            return np.zeros((1, self.m), dtype=np.float32)
+        n_out = prof.size - self.m + 1
+        return np.stack([prof[k:k + n_out] for k in range(self.m)],
+                        axis=1).astype(np.float32)
 
     def _song_profile(self, fs: FeatureSet, i: int) -> np.ndarray:
         W, onsets = structural_fused_w(
@@ -80,7 +93,36 @@ class StrucLaplacian(CoverAlgorithm):
             crp.sliding_window(prof[:, None], self.m), dtype=np.float32)
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        profiles = [self._song_profile(fs, i) for i in range(fs.n_songs)]
+        """Batched: fused W + eigenvectors + spectral k-means + meet
+        matrix + SVD all run on device per song chunk
+        (`ops/structure.laplacian_profile_batch`); only curvature +
+        sliding window (O(n) per song) run on the host."""
+        min_beats = max(self.neigs + 1, self.m + 2)
+
+        def consume(Wb, lengths, onsets_list):
+            npad = Wb.shape[1]
+            meet_pad = npad + 128
+            times = np.full((len(onsets_list), npad), 1e18, np.float32)
+            for b, o in enumerate(onsets_list):
+                times[b, :len(o)] = o.astype(np.float64) * HOP_LENGTH / SR
+            X, nmeet = laplacian_profile_batch(
+                Wb, lengths, times, self.neigs, meet_pad)
+            X = np.asarray(X, np.float64)
+            nmeet = np.asarray(nmeet)
+            outs = []
+            for b in range(len(onsets_list)):
+                if lengths[b] < min_beats:
+                    outs.append(np.zeros((1, self.m), dtype=np.float32))
+                else:
+                    outs.append(
+                        self._profile_from_curve(X[b, :nmeet[b]]))
+            return outs
+
+        profiles = structural_fused_w_all(
+            fs, self.chroma_type, self.wins_per_block, self.K,
+            self.niters, self.do_sync, self.downsample_fac,
+            fuse_features=("mfcc", "hpcp", "tempogram"),
+            tempogram_win=self.tempogram_win, consume=consume)
         Lmax = max(p.shape[0] for p in profiles)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
         arr, lengths = pad_stack(profiles, pad_to)

@@ -14,11 +14,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from acoss_tpu.benchmarking.algorithms.struct_common import structural_fused_w
+from acoss_tpu.benchmarking.algorithms.struct_common import (
+    structural_fused_w, structural_fused_w_all)
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet
 from acoss_tpu.ops.resize import resize
 from acoss_tpu.ops.scattering import Scattering2D
+from acoss_tpu.ops.structure import resize_dynamic_batch
 
 
 class StrucScattering(CoverAlgorithm):
@@ -43,21 +45,26 @@ class StrucScattering(CoverAlgorithm):
         self.scattering = Scattering2D((final_size, final_size), J=J, L=L)
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        shingles = []
-        for i in range(fs.n_songs):
-            W, _ = structural_fused_w(
-                fs, i, self.chroma_type, self.wins_per_block, self.K,
-                self.niters, self.do_sync, self.downsample_fac,
-                fuse_features=("mfcc", "hpcp", "tempogram"),
-                tempogram_win=self.tempogram_win)
-            Wr = resize(jnp.asarray(W),
-                        (self.final_size, self.final_size))
-            S = self.scattering(Wr)          # (paths, m, m)
+        """Batched: fused W, traced-length anti-aliased resize, 2D
+        scattering and per-path normalization run on device per song
+        chunk; only the flat descriptors cross back to the host."""
+
+        def consume(Wb, lengths, onsets_list):
+            Wr = resize_dynamic_batch(Wb, lengths,
+                                      self.final_size)   # (B, f, f)
+            S = self.scattering(Wr)                      # (B, paths, m, m)
             if self.norm_per_path:
                 norms = jnp.sqrt(jnp.sum(S * S, axis=(-2, -1),
                                          keepdims=True))
                 S = S / jnp.where(norms == 0, 1.0, norms)
-            shingles.append(np.asarray(S, dtype=np.float32).ravel())
+            Sh = np.asarray(S, dtype=np.float32)
+            return [Sh[b].ravel() for b in range(Sh.shape[0])]
+
+        shingles = structural_fused_w_all(
+            fs, self.chroma_type, self.wins_per_block, self.K,
+            self.niters, self.do_sync, self.downsample_fac,
+            fuse_features=("mfcc", "hpcp", "tempogram"),
+            tempogram_win=self.tempogram_win, consume=consume)
         return {"shingle": np.stack(shingles)}
 
     def full_scores(self, desc: dict) -> dict:

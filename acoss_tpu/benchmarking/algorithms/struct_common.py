@@ -21,6 +21,7 @@ from acoss_tpu.data.store import FeatureSet
 from acoss_tpu.features.rhythm import tempogram_aggregated
 from acoss_tpu.ops import crp, fusion
 from acoss_tpu.ops.segment import stack_memory, sync_agg
+from acoss_tpu.ops.structure import fused_w_batch
 
 
 def autotune_k(K: int, n: int) -> int:
@@ -96,14 +97,142 @@ def structural_fused_w(
     return np.asarray(WFused, dtype=np.float32)[:n, :n], onsets[:n]
 
 
+def _prep_base_features(
+    fs: FeatureSet,
+    i: int,
+    chroma_type: str,
+    do_sync: bool,
+    downsample_fac: int,
+    fuse_features: tuple,
+    tempogram_win: int,
+):
+    """Host prep of song i's synced (UNstacked) base features.
+
+    Returns ({name: (n, d_name) float32}, onsets (n,) int64, n) with every
+    feature truncated to the common minimum segment count (the stacked
+    distance matrices of the truncation equal the [:n, :n] crop of the
+    full ones — delay embedding only looks backward).
+    """
+    clen = fs.length(chroma_type)[i]
+    mlen = fs.length("mfcc_htk")[i]
+    hpcp = fs.feature(chroma_type)[i, :clen]
+    mfcc = np.nan_to_num(fs.feature("mfcc_htk")[i, :mlen],
+                         nan=0.0, posinf=0.0, neginf=0.0)
+    if do_sync:
+        olen = fs.length("onsets")[i]
+        onsets = fs.feature("onsets")[i, :olen, 0].astype(np.int64)
+    else:
+        onsets = np.arange(0, mfcc.shape[0], downsample_fac)
+
+    base = {}
+    for name in fuse_features:
+        if name == "mfcc":
+            y = sync_agg(mfcc, onsets, "mean")
+        elif name == "hpcp":
+            y = sync_agg(hpcp, onsets, "median")
+        elif name == "tempogram":
+            snovfn = fs.feature("snovfn")[i, :fs.length("snovfn")[i], 0]
+            y = tempogram_aggregated(snovfn, onsets, tempogram_win)
+        else:
+            raise ValueError(name)
+        base[name] = np.nan_to_num(
+            np.asarray(y, np.float32), nan=0.0, posinf=0.0, neginf=0.0)
+    n = min(b.shape[0] for b in base.values())
+    base = {k: v[:n] for k, v in base.items()}
+    return base, onsets[:n], n
+
+
+def structural_fused_w_all(
+    fs: FeatureSet,
+    chroma_type: str = "hpcp",
+    wins_per_block: int = 20,
+    K: int = 10,
+    niters: int = 10,
+    do_sync: bool = True,
+    downsample_fac: int = 40,
+    fuse_features: tuple = ("mfcc", "hpcp", "tempogram"),
+    tempogram_win: int = 384,
+    sequential: bool = True,
+    bucket: int = 128,
+    batch_size: int = 16,
+    consume=None,
+):
+    """Fused structural W for EVERY song, batched on device.
+
+    The corpus is bucketed by padded segment count and swept in batches of
+    `batch_size` songs; each batch is ONE `fused_w_batch` dispatch (base
+    distance matrices + SNF fused on device, `ops/structure.py`). Numerics
+    match per-song `structural_fused_w` to float32 tolerance.
+
+    Either returns [(W (n, n) np.float32, onsets, n), ...] in song order,
+    or — when `consume(W_device (B, npad, npad), lengths (B,), onsets
+    list)` is given — feeds each chunk's DEVICE-RESIDENT padded W batch to
+    `consume` (so downstream batched device programs chain without a host
+    round trip) and scatters the per-song results `consume` returns back
+    into song order.
+    """
+    kinds = tuple("cosine" if f == "hpcp" else "euclidean"
+                  for f in fuse_features)
+    preps = [
+        _prep_base_features(fs, i, chroma_type, do_sync, downsample_fac,
+                            fuse_features, tempogram_win)
+        for i in range(fs.n_songs)
+    ]
+    results = [None] * fs.n_songs
+    npads = [max(-(-n // bucket) * bucket,
+                 2 * autotune_k(K, max(n, 2)), bucket)
+             for _, _, n in preps]
+    by_npad: dict = {}
+    for i, npad in enumerate(npads):
+        by_npad.setdefault(npad, []).append(i)
+
+    for npad, idxs in sorted(by_npad.items()):
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo:lo + batch_size]
+            # fixed batch width: short final chunks repeat their first
+            # song (outputs dropped) so each npad group compiles ONCE
+            B = min(batch_size, len(idxs))
+            padded_chunk = chunk + [chunk[0]] * (B - len(chunk))
+            P = npad + wins_per_block - 1
+            feats = []
+            for name in fuse_features:
+                d = preps[chunk[0]][0][name].shape[1]
+                arr = np.zeros((B, P, d), np.float32)
+                for b, si in enumerate(padded_chunk):
+                    x = preps[si][0][name]
+                    arr[b, wins_per_block - 1:
+                        wins_per_block - 1 + x.shape[0]] = x
+                feats.append(arr)
+            lengths = np.array([preps[si][2] for si in padded_chunk],
+                               np.int32)
+            Ks = np.array(
+                [autotune_k(K, max(int(n), 2)) for n in lengths], np.int32)
+            W = fused_w_batch(tuple(feats), lengths, Ks, kinds,
+                              wins_per_block, niters=niters,
+                              sequential=sequential)
+            if consume is not None:
+                outs = consume(W, lengths,
+                               [preps[si][1] for si in padded_chunk])
+                for b, si in enumerate(chunk):
+                    results[si] = outs[b]
+            else:
+                Wh = np.asarray(W, np.float32)
+                for b, si in enumerate(chunk):
+                    n = int(lengths[b])
+                    results[si] = (Wh[b, :n, :n], preps[si][1], n)
+    return results
+
+
 def sparse_top_shingle(flat: np.ndarray, n_keep: int):
-    """log(flat / ||flat|| + 1), keep only the n_keep largest entries
-    (`StrucFTM2D.py:136-143`). Returns (indices, values) sorted by index."""
+    """log(flat / ||flat|| + 1), zeroing everything below the n_keep-th
+    largest value (`StrucFTM2D.py:133-143`; like the reference, ties AT
+    the cutoff are all kept, so nnz can slightly exceed n_keep).
+    Returns (indices, values) sorted by index."""
     n = np.sqrt(np.sum(flat.astype(np.float64) ** 2))
     s = np.log(flat / (n if n > 0 else 1.0) + 1)
     if n_keep >= s.size:
         idx = np.arange(s.size)
     else:
         cutoff = -np.partition(-s, n_keep)[n_keep - 1]
-        idx = np.flatnonzero(s >= cutoff)[:n_keep]
+        idx = np.flatnonzero(s >= cutoff)
     return idx.astype(np.int64), s[idx].astype(np.float32)
