@@ -10,9 +10,11 @@ into a `FeatureSet`.
 Substitutions (documented per SURVEY.md section 7.7):
 - madmom RNN+DBN beats -> superflux novelty + Ellis DP tracker
   (`acoss_tpu.features.onsets`);
-- crema chord-model chroma -> harmonic-enhanced CQT chroma
-  (`chroma_cqt_processed`) — no pretrained chord model in this image; the
-  slot carries "a cleaner chroma", which is how the benchmark consumes it;
+- crema chord-model chroma -> chord-template HMM chroma
+  (`acoss_tpu.features.chord`): Viterbi-class forward-backward smoothing
+  of CQT chroma under maj/min triad templates — like CREMA's chord_pitch
+  output, a harmony-quantized, temporally-smoothed chroma (no pretrained
+  model in this image);
 - essentia KeyExtractor -> Krumhansl-Schmuckler correlation on HPCP.
 """
 
@@ -60,8 +62,11 @@ def compute_features(audio: np.ndarray, sr: int = 44100,
         if "key_extractor" in features:
             out["key_extractor"] = key_extractor(H)
     if "crema" in features:
-        out["crema"] = chroma_mod.chroma_cqt_processed(audio, sr,
-                                                       hop_length)
+        from acoss_tpu.features.chord import crema_substitute
+        out["crema"] = crema_substitute(audio, sr, hop_length)
+    if "chroma_cqt_processed" in features:
+        out["chroma_cqt_processed"] = chroma_mod.chroma_cqt_processed(
+            audio, sr, hop_length)
     if "chroma_stft" in features:
         out["chroma_stft"] = chroma_mod.chroma_stft(audio, sr,
                                                     hop_length=hop_length)
