@@ -80,6 +80,38 @@ def _pad_desc(desc: dict, n_to: int) -> dict:
     return out
 
 
+def _tile_slice(desc: dict, lo: int, hi: int, tile: int) -> dict:
+    """Materialize rows [lo, hi) of each descriptor (copying out of a
+    disk memmap if the store is disk-backed) padded up to `tile` rows —
+    host memory never holds more than the active tiles."""
+    out = {}
+    for k, v in desc.items():
+        s = np.asarray(v[lo:hi])
+        if s.shape[0] < tile:
+            s = np.pad(s, [(0, tile - s.shape[0])]
+                       + [(0, 0)] * (s.ndim - 1))
+        out[k] = s
+    return out
+
+
+def _symmetrize_add_transpose(D, block: int = 4096) -> None:
+    """D <- D + D.T in place, blockwise (works on np.memmap without
+    materializing the matrix — the Da-TACOS-scale analog of the
+    reference's `D += D.T`, `CoverAlgorithm.py:180-182`)."""
+    n = D.shape[0]
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        A = np.array(D[i0:i1, i0:i1])
+        D[i0:i1, i0:i1] = A + A.T
+        for j0 in range(0, i0, block):
+            j1 = min(j0 + block, n)
+            A = np.array(D[i0:i1, j0:j1])
+            B = np.array(D[j0:j1, i0:i1])
+            S = A + B.T
+            D[i0:i1, j0:j1] = S
+            D[j0:j1, i0:i1] = S.T
+
+
 def run_pairwise(
     algorithm: CoverAlgorithm,
     desc: dict,
@@ -90,6 +122,7 @@ def run_pairwise(
     verbose: bool = False,
     tile_filter=None,
     skip_symmetrize: bool = False,
+    scores_dir: str | None = None,
 ) -> dict:
     """Sweep the pair grid, returning {similarity_type: (N, N) np.float32}.
 
@@ -101,6 +134,13 @@ def run_pairwise(
     score matrices is saved every `checkpoint_every` tiles and the sweep
     resumes from it (`do_batch`'s checkpoint/resume,
     `CoverAlgorithm.py:262-292`).
+
+    `desc` values may be disk memmaps (`data.descstore.DescriptorStore`);
+    tiles are sliced + padded on demand, so host memory stays bounded by
+    the tile size. With `scores_dir`, the output score matrices are
+    `.npy` memmaps in that directory instead of RAM arrays (the
+    reference's memmap score files, `CoverAlgorithm.py:48-51`) and the
+    checkpoint ledger stores only the done map.
     """
     if algorithm.full_scores is not None:
         Ds = {k: np.array(v, dtype=np.float32)
@@ -111,19 +151,30 @@ def run_pairwise(
 
     tile = tile or algorithm.TILE
     n_tiles = -(-n_songs // tile)
-    n_pad = n_tiles * tile
-    desc = _pad_desc(desc, n_pad)
 
-    Ds = {k: np.zeros((n_songs, n_songs), np.float32)
-          for k in algorithm.SIMILARITY_TYPES}
+    if scores_dir is not None:
+        os.makedirs(scores_dir, exist_ok=True)
+        Ds = {}
+        for k in algorithm.SIMILARITY_TYPES:
+            fn = os.path.join(scores_dir, f"{k}.npy")
+            if os.path.exists(fn):
+                Ds[k] = np.lib.format.open_memmap(fn, mode="r+")
+            else:
+                Ds[k] = np.lib.format.open_memmap(
+                    fn, mode="w+", dtype=np.float32,
+                    shape=(n_songs, n_songs))
+    else:
+        Ds = {k: np.zeros((n_songs, n_songs), np.float32)
+              for k in algorithm.SIMILARITY_TYPES}
     done = np.zeros((n_tiles, n_tiles), dtype=bool)
 
     if checkpoint_path and os.path.exists(checkpoint_path):
         with np.load(checkpoint_path) as z:
             if int(z["tile"]) == tile and int(z["n_songs"]) == n_songs:
                 done = z["done"]
-                for k in Ds:
-                    Ds[k] = z[f"D::{k}"]
+                if scores_dir is None:
+                    for k in Ds:
+                        Ds[k] = z[f"D::{k}"]
 
     tile_fn = jax.jit(algorithm.tile_scores)
     row_idx = np.arange(tile)
@@ -132,8 +183,12 @@ def run_pairwise(
         if not checkpoint_path:
             return
         payload = {"done": done, "tile": tile, "n_songs": n_songs}
-        for k, D in Ds.items():
-            payload[f"D::{k}"] = D
+        if scores_dir is None:
+            for k, D in Ds.items():
+                payload[f"D::{k}"] = D
+        else:
+            for D in Ds.values():
+                D.flush()
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, checkpoint_path)
@@ -147,13 +202,13 @@ def run_pairwise(
         cols = list(cols)
         if ti % 2 == 1:
             cols = cols[::-1]
-        row = _slice_desc(desc, ti * tile, (ti + 1) * tile)
+        row = _tile_slice(desc, ti * tile, (ti + 1) * tile, tile)
         for tj in cols:
             if done[ti, tj]:
                 continue
             if tile_filter is not None and not tile_filter(ti, tj):
                 continue
-            col = _slice_desc(desc, tj * tile, (tj + 1) * tile)
+            col = _tile_slice(desc, tj * tile, (tj + 1) * tile, tile)
             scores = tile_fn(row, col)
             scores = {k: np.asarray(v) for k, v in scores.items()}
             r0, c0 = ti * tile, tj * tile
@@ -176,8 +231,19 @@ def run_pairwise(
     save_ckpt()
 
     if algorithm.SYMMETRIC and not skip_symmetrize:
-        for k in Ds:
-            Ds[k] = Ds[k] + Ds[k].T
+        # persistent memmaps survive re-invocations: the flag file keeps
+        # the transpose-add from running twice on the same matrices
+        flag = (os.path.join(scores_dir, "symmetrized.flag")
+                if scores_dir is not None else None)
+        if flag is None or not os.path.exists(flag):
+            for k in Ds:
+                if scores_dir is not None:
+                    _symmetrize_add_transpose(Ds[k])
+                else:
+                    Ds[k] = Ds[k] + Ds[k].T
+            if flag is not None:
+                with open(flag, "w") as f:
+                    f.write("1")
     return Ds
 
 

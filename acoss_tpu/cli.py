@@ -115,6 +115,28 @@ def cmd_benchmark(args) -> int:
     ckpt = os.path.join(
         args.cachedir, f"{algo.NAME}_{args.shortname}_ckpt.npz") \
         if not args.no_checkpoint else None
+
+    if args.stream_dir:
+        # Da-TACOS-scale: disk-backed descriptors + memmapped scores.
+        from acoss_tpu.benchmarking.harness import run_pairwise
+        from acoss_tpu.data.descstore import (DescriptorStore,
+                                              extract_streamed)
+
+        desc_path = os.path.join(args.stream_dir, "desc")
+        if os.path.exists(os.path.join(desc_path, DescriptorStore.META)):
+            print(f"reusing descriptor store {desc_path}")
+            desc = DescriptorStore.open(desc_path)
+        else:
+            desc = extract_streamed(algo, fs, desc_path,
+                                    chunk_songs=args.stream_chunk,
+                                    verbose=True)
+        Ds = run_pairwise(
+            algo, desc, fs.n_songs, tile=args.tile,
+            checkpoint_path=ckpt, verbose=True,
+            scores_dir=os.path.join(args.stream_dir, "scores"))
+        _eval_and_report(algo, Ds, desc, fs, csv)
+        return 0
+
     stats = benchmark(algo, fs, tile=args.tile, results_csv=csv,
                       checkpoint_path=ckpt, verbose=True,
                       n_buckets=args.n_buckets)
@@ -176,6 +198,14 @@ def main(argv=None) -> int:
                    help="this process's shard index (0-based)")
     b.add_argument("--partial-dir", default="partials",
                    help="directory for per-process partial score files")
+    b.add_argument("--stream-dir", default=None, metavar="DIR",
+                   help="Da-TACOS-scale mode: chunked descriptor "
+                        "extraction into a disk-backed store under "
+                        "DIR/desc and memmapped N x N score matrices "
+                        "under DIR/scores (host RAM stays bounded by "
+                        "the tile size)")
+    b.add_argument("--stream-chunk", type=int, default=256,
+                   help="songs per extraction chunk with --stream-dir")
     b.add_argument("--merge", action="store_true",
                    help="aggregate partial files from --partial-dir and "
                         "evaluate (the reference's -b/load_batches)")

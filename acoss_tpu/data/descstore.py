@@ -1,0 +1,133 @@
+"""Disk-backed descriptor store for Da-TACOS-scale sweeps.
+
+The in-RAM descriptor dict works to a few thousand songs, but EarlySNF's
+per-block scattering descriptors (~20736-dim per beat block) at the
+Da-TACOS benchmark's 15,000 songs are hundreds of GB — the reference
+handles this with a per-song two-level disk cache re-read inside the pair
+loop (`/root/reference/benchmarking/Serra09.py:116-140`). The TPU-native
+analog: every descriptor key is ONE on-disk `.npy` memmap with leading
+dim N, written chunk-by-chunk at extraction time and sliced tile-by-tile
+during the sweep, so host memory holds only the active tile rows.
+
+Works with `harness.run_pairwise`, which slices + pads PER TILE (never
+materializing a whole padded corpus) and can also memmap its output score
+matrices (`scores_dir`), the analog of the reference's N x N memmap
+score files (`CoverAlgorithm.py:48-51`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+
+class DescriptorStore:
+    """Directory of per-key `.npy` memmaps with leading dimension N."""
+
+    META = "descstore.json"
+
+    def __init__(self, path: str, n_songs: int):
+        self.path = path
+        self.n_songs = n_songs
+        self._maps: dict = {}
+        os.makedirs(path, exist_ok=True)
+
+    # -- writing ----------------------------------------------------------
+    def ensure(self, key: str, tail_shape: tuple, dtype) -> np.memmap:
+        """Create (or open for writing) the memmap behind `key`."""
+        if key not in self._maps:
+            fn = os.path.join(self.path, f"{key}.npy")
+            if os.path.exists(fn):
+                self._maps[key] = np.lib.format.open_memmap(fn, mode="r+")
+            else:
+                self._maps[key] = np.lib.format.open_memmap(
+                    fn, mode="w+", dtype=np.dtype(dtype),
+                    shape=(self.n_songs,) + tuple(tail_shape))
+        return self._maps[key]
+
+    def write(self, key: str, start: int, values: np.ndarray) -> None:
+        """Write rows [start, start + len(values)) of `key`, padding the
+        trailing axes up to the store's width."""
+        m = self.ensure(key, values.shape[1:], values.dtype)
+        if values.shape[1:] != m.shape[1:]:
+            pad = [(0, 0)] + [(0, t - s) for s, t in
+                              zip(values.shape[1:], m.shape[1:])]
+            if any(p[1] < 0 for p in pad):
+                raise ValueError(
+                    f"{key}: chunk wider than store "
+                    f"{values.shape[1:]} > {m.shape[1:]}")
+            values = np.pad(values, pad)
+        m[start:start + len(values)] = values
+
+    def flush(self) -> None:
+        for m in self._maps.values():
+            m.flush()
+        meta = {"n_songs": self.n_songs,
+                "keys": sorted(os.path.splitext(f)[0]
+                               for f in os.listdir(self.path)
+                               if f.endswith(".npy"))}
+        with open(os.path.join(self.path, self.META), "w") as f:
+            json.dump(meta, f)
+
+    # -- reading ----------------------------------------------------------
+    @classmethod
+    def open(cls, path: str) -> dict:
+        """Read-only descriptor dict of memmaps (drop-in for the in-RAM
+        desc dict: `harness.run_pairwise` slices it per tile)."""
+        with open(os.path.join(path, cls.META)) as f:
+            meta = json.load(f)
+        return {k: np.load(os.path.join(path, f"{k}.npy"), mmap_mode="r")
+                for k in meta["keys"]}
+
+    def delete(self) -> None:
+        self._maps.clear()
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def extract_streamed(algorithm, fs, store_path: str,
+                     chunk_songs: int = 256, verbose: bool = False) -> dict:
+    """Chunked descriptor extraction into a DescriptorStore.
+
+    Each chunk of songs is extracted with the algorithm's ordinary
+    `extract_descriptors` on a FeatureSet subset; because chunk-local
+    padded widths differ, chunks are staged to temporary files on the
+    first pass (tracking per-key maximum widths), then copied into the
+    final fixed-width memmaps. Peak host memory is one chunk's
+    descriptors. Returns the read-only descriptor dict.
+    """
+    n = fs.n_songs
+    tmp_dir = store_path + ".chunks"
+    os.makedirs(tmp_dir, exist_ok=True)
+    widths: dict = {}
+    dtypes: dict = {}
+    starts = list(range(0, n, chunk_songs))
+    for ci, lo in enumerate(starts):
+        hi = min(lo + chunk_songs, n)
+        desc = algorithm.extract_descriptors(
+            fs.subset(np.arange(lo, hi)))
+        payload = {}
+        for k, v in desc.items():
+            v = np.asarray(v)
+            payload[k] = v
+            prev = widths.get(k)
+            widths[k] = (v.shape[1:] if prev is None else
+                         tuple(max(a, b)
+                               for a, b in zip(prev, v.shape[1:])))
+            dtypes[k] = v.dtype
+        np.savez(os.path.join(tmp_dir, f"chunk_{ci}.npz"), **payload)
+        if verbose:
+            print(f"[extract_streamed] chunk {ci + 1}/{len(starts)} "
+                  f"({hi}/{n} songs)")
+    store = DescriptorStore(store_path, n)
+    for k in widths:
+        store.ensure(k, widths[k], dtypes[k])
+    for ci, lo in enumerate(starts):
+        with np.load(os.path.join(tmp_dir, f"chunk_{ci}.npz")) as z:
+            for k in z.files:
+                store.write(k, lo, z[k])
+    store.flush()
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return DescriptorStore.open(store_path)
