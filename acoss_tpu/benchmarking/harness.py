@@ -123,6 +123,7 @@ def run_pairwise(
     tile_filter=None,
     skip_symmetrize: bool = False,
     scores_dir: str | None = None,
+    device_resident: bool | None = None,
 ) -> dict:
     """Sweep the pair grid, returning {similarity_type: (N, N) np.float32}.
 
@@ -141,6 +142,14 @@ def run_pairwise(
     `.npy` memmaps in that directory instead of RAM arrays (the
     reference's memmap score files, `CoverAlgorithm.py:48-51`) and the
     checkpoint ledger stores only the done map.
+
+    `device_resident` (default: on, unless the descriptors are disk
+    memmaps) uploads the padded descriptor corpus to the device ONCE and
+    slices tiles on device with traced offsets — one compile serves every
+    tile and no descriptor bytes cross the host<->device link during the
+    sweep. This is what makes heavy-descriptor channels (Serra09's
+    20736-dim ssms_scatter, EarlySNF) feasible through a thin link; with
+    fast links it still removes the per-tile transfer + dispatch cost.
     """
     if algorithm.full_scores is not None:
         Ds = {k: np.array(v, dtype=np.float32)
@@ -176,6 +185,21 @@ def run_pairwise(
                     for k in Ds:
                         Ds[k] = z[f"D::{k}"]
 
+    if device_resident is None:
+        device_resident = not any(isinstance(v, np.memmap)
+                                  for v in desc.values())
+    desc_dev = None
+    if device_resident:
+        desc_dev = jax.device_put(_pad_desc(desc, n_tiles * tile))
+
+        @jax.jit
+        def tile_at(dd, ti, tj):
+            row = {k: jax.lax.dynamic_slice_in_dim(v, ti * tile, tile)
+                   for k, v in dd.items()}
+            col = {k: jax.lax.dynamic_slice_in_dim(v, tj * tile, tile)
+                   for k, v in dd.items()}
+            return algorithm.tile_scores(row, col)
+
     tile_fn = jax.jit(algorithm.tile_scores)
     row_idx = np.arange(tile)
 
@@ -202,14 +226,18 @@ def run_pairwise(
         cols = list(cols)
         if ti % 2 == 1:
             cols = cols[::-1]
-        row = _tile_slice(desc, ti * tile, (ti + 1) * tile, tile)
+        row = None if device_resident else \
+            _tile_slice(desc, ti * tile, (ti + 1) * tile, tile)
         for tj in cols:
             if done[ti, tj]:
                 continue
             if tile_filter is not None and not tile_filter(ti, tj):
                 continue
-            col = _tile_slice(desc, tj * tile, (tj + 1) * tile, tile)
-            scores = tile_fn(row, col)
+            if device_resident:
+                scores = tile_at(desc_dev, np.int32(ti), np.int32(tj))
+            else:
+                col = _tile_slice(desc, tj * tile, (tj + 1) * tile, tile)
+                scores = tile_fn(row, col)
             scores = {k: np.asarray(v) for k, v in scores.items()}
             r0, c0 = ti * tile, tj * tile
             ij = np.meshgrid(row_idx + r0, row_idx + c0, indexing="ij")

@@ -44,6 +44,19 @@ def test_serra09_tile_size_invariance(dataset):
         np.testing.assert_allclose(D1[k], D2[k], atol=1e-5)
 
 
+def test_device_resident_sweep_matches_host_sliced(dataset):
+    """The device-resident sweep (corpus uploaded once, tiles sliced on
+    device with traced offsets) must equal the host-sliced path."""
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(dataset)
+    D1 = run_pairwise(algo, desc, dataset.n_songs, tile=4,
+                      device_resident=True)
+    D2 = run_pairwise(algo, desc, dataset.n_songs, tile=4,
+                      device_resident=False)
+    for k in D1:
+        np.testing.assert_allclose(D1[k], D2[k], atol=1e-5)
+
+
 def test_checkpoint_resume(dataset, tmp_path):
     """A sweep resumed from a mid-run checkpoint gives identical scores."""
     algo = Serra09(chroma_type="hpcp", downsample_fac=4)
