@@ -32,8 +32,7 @@ from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
 from acoss_tpu.ops import alignment, crp
 from acoss_tpu.ops.segment import uniform_downsample
-from acoss_tpu.ops.ssm_features import (get_ssm_scatter_sequence,
-                                        length_match, scatter_dim)
+from acoss_tpu.ops.ssm_features import build_ssms_device
 
 
 def global_chroma(chroma: np.ndarray) -> np.ndarray:
@@ -68,8 +67,7 @@ class Serra09(CoverAlgorithm):
                                       "ssms_scatter_dmax")
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        chromas, mfccs, gchromas, ssms = [], [], [], []
-        sdim = scatter_dim(self.ssm_res)
+        chromas, mfccs, gchromas, full_mfccs = [], [], [], []
         clen = fs.length(self.chroma_type)
         mlen = fs.length("mfcc_htk")
         for i in range(fs.n_songs):
@@ -83,12 +81,8 @@ class Serra09(CoverAlgorithm):
             chromas.append(ch_ds[:n].astype(np.float32))
             mfccs.append(mf_ds[:n].astype(np.float32))
             if self.do_ssms:
-                # sequence of scattered MFCC block-SSMs, length-matched to
-                # M = n - m + 1 (`Serra09.py:126,146-152`)
-                seq = get_ssm_scatter_sequence(
-                    mf[:n * self.downsample_fac], self.downsample_fac,
-                    self.m * self.ssm_win_mul, self.ssm_res)
-                ssms.append(length_match(seq, max(n - self.m + 1, 1), sdim))
+                full_mfccs.append(
+                    np.asarray(mf[:n * self.downsample_fac], np.float32))
         # Pad to a lane-friendly multiple for the wavefront kernels.
         Lmax = max(c.shape[0] for c in chromas)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
@@ -101,7 +95,16 @@ class Serra09(CoverAlgorithm):
             "length": lengths.astype(np.int32),
         }
         if self.do_ssms:
-            desc["ssms"], _ = pad_stack(ssms, pad_to)
+            # sequences of scattered MFCC block-SSMs, length-matched to
+            # M = n - m + 1 (`Serra09.py:126,146-152`), built DEVICE-
+            # RESIDENT: at 20736 dims per block the corpus must feed the
+            # device-resident sweep without a host round trip
+            # (`ops.ssm_features.build_ssms_device`).
+            desc["ssms"] = build_ssms_device(
+                full_mfccs,
+                [max(int(n) - self.m + 1, 1) for n in lengths],
+                pad_to, self.downsample_fac,
+                self.m * self.ssm_win_mul, self.ssm_res)
         return desc
 
     def _pair_crps(self, r, c):

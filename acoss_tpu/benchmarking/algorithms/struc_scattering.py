@@ -49,16 +49,23 @@ class StrucScattering(CoverAlgorithm):
         scattering and per-path normalization run on device per song
         chunk; only the flat descriptors cross back to the host."""
 
+        # Scattering2D at 512^2 holds ~J*L*size^2 complex temps per song;
+        # sub-batch it so the batched program stays inside HBM.
+        sub = max(1, (128 // self.final_size) ** 2)
+
         def consume(Wb, lengths, onsets_list):
             Wr = resize_dynamic_batch(Wb, lengths,
                                       self.final_size)   # (B, f, f)
-            S = self.scattering(Wr)                      # (B, paths, m, m)
-            if self.norm_per_path:
-                norms = jnp.sqrt(jnp.sum(S * S, axis=(-2, -1),
-                                         keepdims=True))
-                S = S / jnp.where(norms == 0, 1.0, norms)
-            Sh = np.asarray(S, dtype=np.float32)
-            return [Sh[b].ravel() for b in range(Sh.shape[0])]
+            outs = []
+            for lo in range(0, Wr.shape[0], sub):
+                S = self.scattering(Wr[lo:lo + sub])     # (b, paths, m, m)
+                if self.norm_per_path:
+                    norms = jnp.sqrt(jnp.sum(S * S, axis=(-2, -1),
+                                             keepdims=True))
+                    S = S / jnp.where(norms == 0, 1.0, norms)
+                Sh = np.asarray(S, dtype=np.float32)
+                outs.extend(Sh[b].ravel() for b in range(Sh.shape[0]))
+            return outs
 
         shingles = structural_fused_w_all(
             fs, self.chroma_type, self.wins_per_block, self.K,

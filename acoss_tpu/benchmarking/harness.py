@@ -76,7 +76,12 @@ def _pad_desc(desc: dict, n_to: int) -> dict:
     out = {}
     for k, v in desc.items():
         pad = [(0, n_to - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
-        out[k] = np.pad(v, pad)
+        if isinstance(v, jax.Array):
+            # already device-resident (e.g. Serra09 ssms): pad on device —
+            # pulling it to the host defeats the point
+            out[k] = jax.numpy.pad(v, pad)
+        else:
+            out[k] = np.pad(v, pad)
     return out
 
 

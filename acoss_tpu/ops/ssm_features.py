@@ -105,3 +105,85 @@ def length_match(ssms: np.ndarray, M: int, dim: int) -> np.ndarray:
         pad = np.repeat(ssms[-1:], M - ssms.shape[0], axis=0)
         ssms = np.concatenate([ssms, pad], axis=0)
     return ssms[:M]
+
+
+# ---------------------------------------------------------------------------
+# Device-resident corpus builder (no descriptor bytes return to the host)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("span", "win", "res", "J", "L", "chunk"))
+def _scatter_song(mfcc_pad: jax.Array, starts_pad: jax.Array, span: int,
+                  win: int, res: int, J: int, L: int,
+                  chunk: int) -> jax.Array:
+    """All block descriptors of one song in ONE dispatch: gather chunks of
+    `chunk` blocks from the padded full-rate MFCCs at traced start frames
+    and scatter them, `lax.map`-sequenced so only one chunk's SSM working
+    set is live at a time. Returns (n_chunk_groups * chunk, sdim)."""
+    def one_group(starts):
+        blocks = mfcc_pad[starts[:, None] + jnp.arange(span)[None, :]]
+        return _blocks_to_scatter(blocks, win, res, J, L)
+
+    groups = starts_pad.reshape(-1, chunk)
+    out = jax.lax.map(one_group, groups)
+    return out.reshape(-1, out.shape[-1])
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _write_song(seq: jax.Array, big: jax.Array, i, n_blocks, M):
+    """length_match (`Serra09.py:146-152`) on device + write into row i of
+    the (N, pad_to, sdim) corpus buffer: rows r < min(M, pad_to) carry
+    seq[min(r, n_blocks - 1)] (repeat-last-row padding), everything else
+    exactly zero; n_blocks == 0 gives an all-zero song."""
+    pad_to = big.shape[1]
+    r = jnp.arange(pad_to)
+    src = jnp.minimum(r, jnp.maximum(n_blocks - 1, 0))
+    rows = seq[src] * ((r < M) & (n_blocks > 0))[:, None]
+    return jax.lax.dynamic_update_slice(big, rows[None], (i, 0, 0))
+
+
+def build_ssms_device(
+    mfccs: list, Ms: list, pad_to: int, downsample_fac: int = 40,
+    m: int = 18, res: int = 64, J: int = 2, L: int = 8, chunk: int = 64,
+    l_bucket: int = 4096,
+) -> jax.Array:
+    """Device-resident (N, pad_to, sdim) ssms_scatter corpus.
+
+    Equivalent to stacking `length_match(get_ssm_scatter_sequence(mfcc),
+    M, sdim)` over songs — but the descriptors NEVER visit the host: each
+    song costs one bucket-padded MFCC upload (~1 MB) plus three fixed-
+    shape device dispatches (scatter, length-match+write). Built for the
+    device-resident pair sweep (`harness.run_pairwise`); reading the
+    result back would be the slow direction of a thin host link.
+
+    Args:
+      mfccs: per-song full-rate (L_i, d) float32 MFCCs (already cropped
+        to n * downsample_fac frames).
+      Ms: per-song target row counts (n - m_serra + 1).
+    """
+    get_scattering2d(res, J, L)
+    sdim = scatter_dim(res, J, L)
+    span = m * downsample_fac
+    win = downsample_fac // 2
+    big = jnp.zeros((len(mfccs), pad_to, sdim), jnp.float32)
+    for i, (mfcc, M) in enumerate(zip(mfccs, Ms)):
+        L_frames = mfcc.shape[0]
+        starts = np.arange(0, max(L_frames - span, 0) + 1, downsample_fac)
+        n_blocks = len(starts) if L_frames >= span else 0
+        if n_blocks == 0:
+            continue                      # row stays zero
+        Lp = -(-max(L_frames, span + chunk) // l_bucket) * l_bucket
+        mp = np.zeros((Lp + span, mfcc.shape[1]), np.float32)
+        mp[:L_frames] = mfcc
+        # group count fixed by the bucket (not the song) so each bucket
+        # compiles one scatter program; surplus starts gather the zero
+        # padding (garbage rows masked out by the length-match write)
+        max_blocks = (Lp - span) // downsample_fac + 1
+        n_groups = -(-max_blocks // chunk)
+        sp = np.zeros(n_groups * chunk, np.int32)
+        sp[:n_blocks] = starts
+        seq = _scatter_song(jnp.asarray(mp), jnp.asarray(sp), span, win,
+                            res, J, L, chunk)
+        big = _write_song(seq, big, np.int32(i), np.int32(n_blocks),
+                          np.int32(min(M, pad_to)))
+    return big

@@ -208,3 +208,26 @@ def test_bucketed_checkpoint_resume(dataset, tmp_path):
     np.testing.assert_array_equal(desc_m["length"], desc_ref["length"])
     np.testing.assert_allclose(desc_m["gchroma"], desc_ref["gchroma"],
                                atol=1e-6)
+
+
+def test_build_ssms_device_matches_numpy_path():
+    """The device-resident ssms corpus builder is bitwise-equal to the
+    per-song numpy pipeline (scatter sequence + length_match + stack)."""
+    from acoss_tpu.ops.ssm_features import (build_ssms_device,
+                                            get_ssm_scatter_sequence,
+                                            length_match, scatter_dim)
+    rng = np.random.default_rng(0)
+    fac, m, res = 8, 6, 16
+    sdim = scatter_dim(res)
+    mfccs, Ms = [], []
+    for L in (400, 230, 37):       # 37 is too short for any block
+        mfccs.append(rng.normal(size=(L, 13)).astype(np.float32))
+        Ms.append(max(L // fac - 2, 1))
+    pad_to = 64
+    ref = np.zeros((3, pad_to, sdim), np.float32)
+    for i, (mf, M) in enumerate(zip(mfccs, Ms)):
+        seq = get_ssm_scatter_sequence(mf, fac, m, res)
+        lm = length_match(seq, min(M, pad_to), sdim)
+        ref[i, :lm.shape[0]] = lm
+    got = np.asarray(build_ssms_device(mfccs, Ms, pad_to, fac, m, res))
+    np.testing.assert_array_equal(got, ref)
