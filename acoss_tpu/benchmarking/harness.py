@@ -32,6 +32,7 @@ import numpy as np
 from acoss_tpu.benchmarking.evaluation import (EvalStats, eval_statistics,
                                                write_results_csv)
 from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.utils import profiling as _prof
 
 
 class CoverAlgorithm:
@@ -238,12 +239,15 @@ def run_pairwise(
                 continue
             if tile_filter is not None and not tile_filter(ti, tj):
                 continue
-            if device_resident:
-                scores = tile_at(desc_dev, np.int32(ti), np.int32(tj))
-            else:
-                col = _tile_slice(desc, tj * tile, (tj + 1) * tile, tile)
-                scores = tile_fn(row, col)
-            scores = {k: np.asarray(v) for k, v in scores.items()}
+            with _prof.stages.stage("sweep:tile"), \
+                    _prof.step_annotation("tile", ti=ti, tj=tj):
+                if device_resident:
+                    scores = tile_at(desc_dev, np.int32(ti), np.int32(tj))
+                else:
+                    col = _tile_slice(desc, tj * tile, (tj + 1) * tile,
+                                      tile)
+                    scores = tile_fn(row, col)
+                scores = {k: np.asarray(v) for k, v in scores.items()}
             r0, c0 = ti * tile, tj * tile
             ij = np.meshgrid(row_idx + r0, row_idx + c0, indexing="ij")
             # mask: in-bounds, and for symmetric sweeps keep strict lower.
@@ -475,18 +479,27 @@ def benchmark(
     `checkpoint_path` is given.
     """
     if n_buckets > 1 and algorithm.full_scores is None:
-        Ds, desc = run_pairwise_bucketed(
-            algorithm, fs, n_buckets=n_buckets, tile=tile, verbose=verbose,
-            checkpoint_path=checkpoint_path, return_desc=True)
+        with _prof.stages.stage("extract+sweep:bucketed"):
+            Ds, desc = run_pairwise_bucketed(
+                algorithm, fs, n_buckets=n_buckets, tile=tile,
+                verbose=verbose, checkpoint_path=checkpoint_path,
+                return_desc=True)
     else:
-        desc = algorithm.extract_descriptors(fs)
-        Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
-                          checkpoint_path=checkpoint_path, verbose=verbose)
-    Ds = algorithm.post_process(Ds, desc)
+        with _prof.stages.stage("extract"):
+            desc = algorithm.extract_descriptors(fs)
+            _prof.stages.block(
+                [v for v in desc.values() if isinstance(v, jax.Array)])
+        with _prof.stages.stage("sweep"):
+            Ds = run_pairwise(algorithm, desc, fs.n_songs, tile=tile,
+                              checkpoint_path=checkpoint_path,
+                              verbose=verbose)
+    with _prof.stages.stage("post_process"):
+        Ds = algorithm.post_process(Ds, desc)
     out = {}
     for k, D in Ds.items():
         S = -D if k in algorithm.DISTANCE_TYPES else D
-        stats = eval_statistics(S, fs.labels)
+        with _prof.stages.stage("eval"):
+            stats = eval_statistics(S, fs.labels)
         out[k] = stats
         if verbose:
             print(f"[{algorithm.NAME}:{k}] MR={stats.mr:.3g} "

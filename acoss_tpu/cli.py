@@ -49,6 +49,20 @@ def _eval_and_report(algo, Ds, desc, fs, csv):
 
 
 def cmd_benchmark(args) -> int:
+    from acoss_tpu.utils import profiling
+
+    profiling.stages.enabled = bool(args.stage_times)
+    profiling.stages.reset()
+    with profiling.device_trace(args.profile):
+        rc = _cmd_benchmark_inner(args)
+    if args.stage_times:
+        print(profiling.stages.report())
+    if args.profile:
+        print(f"device trace written to {args.profile}")
+    return rc
+
+
+def _cmd_benchmark_inner(args) -> int:
     import numpy as np
 
     from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS
@@ -198,6 +212,12 @@ def main(argv=None) -> int:
                    help="this process's shard index (0-based)")
     b.add_argument("--partial-dir", default="partials",
                    help="directory for per-process partial score files")
+    b.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "into LOGDIR (view in TensorBoard / perfetto)")
+    b.add_argument("--stage-times", action="store_true",
+                   help="print accumulated per-stage wall timings "
+                        "(extract / sweep:tile / eval / ...)")
     b.add_argument("--stream-dir", default=None, metavar="DIR",
                    help="Da-TACOS-scale mode: chunked descriptor "
                         "extraction into a disk-backed store under "
