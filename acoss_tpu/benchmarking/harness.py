@@ -232,8 +232,11 @@ def run_pairwise(
         cols = list(cols)
         if ti % 2 == 1:
             cols = cols[::-1]
-        row = None if device_resident else \
-            _tile_slice(desc, ti * tile, (ti + 1) * tile, tile)
+        # streaming mode: pin the row tile on device for the whole
+        # block-row (it would otherwise re-cross the host link once per
+        # column tile)
+        row = None if device_resident else jax.device_put(
+            _tile_slice(desc, ti * tile, (ti + 1) * tile, tile))
         for tj in cols:
             if done[ti, tj]:
                 continue
