@@ -106,3 +106,29 @@ def test_cli_benchmark(tmp_path, monkeypatch):
                "-s", "synthtest"])
     assert rc == 0
     assert os.path.exists(tmp_path / "results_synthtest.csv")
+
+
+def test_profiling_stage_times_and_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from acoss_tpu.utils import profiling
+
+    st = profiling.StageTimes()
+    with st.stage("a"):
+        st.block(jnp.ones(8) * 2)
+    with st.stage("a"):
+        pass
+    with st.stage("b"):
+        pass
+    assert st.count["a"] == 2 and st.count["b"] == 1
+    rep = st.report()
+    assert "a" in rep and "per_call_ms" in rep
+
+    logdir = str(tmp_path / "trace")
+    with profiling.device_trace(logdir):
+        with profiling.step_annotation("tile", ti=0, tj=0):
+            jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8))).block_until_ready()
+    import os
+    assert os.path.isdir(logdir) and os.listdir(logdir)
+    with profiling.device_trace(None):   # no-op path
+        pass
