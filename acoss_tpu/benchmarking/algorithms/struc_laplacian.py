@@ -100,22 +100,27 @@ class StrucLaplacian(CoverAlgorithm):
         min_beats = max(self.neigs + 1, self.m + 2)
 
         def consume(Wb, lengths, onsets_list):
+            from acoss_tpu.utils.profiling import stages
+
             npad = Wb.shape[1]
             meet_pad = npad + 128
             times = np.full((len(onsets_list), npad), 1e18, np.float32)
             for b, o in enumerate(onsets_list):
                 times[b, :len(o)] = o.astype(np.float64) * HOP_LENGTH / SR
-            X, nmeet = laplacian_profile_batch(
-                Wb, lengths, times, self.neigs, meet_pad)
-            X = np.asarray(X, np.float64)
-            nmeet = np.asarray(nmeet)
-            outs = []
-            for b in range(len(onsets_list)):
-                if lengths[b] < min_beats:
-                    outs.append(np.zeros((1, self.m), dtype=np.float32))
-                else:
-                    outs.append(
-                        self._profile_from_curve(X[b, :nmeet[b]]))
+            with stages.stage("lap:profile_batch"):
+                X, nmeet = stages.block(laplacian_profile_batch(
+                    Wb, lengths, times, self.neigs, meet_pad))
+            with stages.stage("lap:readback+curvature"):
+                X = np.asarray(X, np.float64)
+                nmeet = np.asarray(nmeet)
+                outs = []
+                for b in range(len(onsets_list)):
+                    if lengths[b] < min_beats:
+                        outs.append(
+                            np.zeros((1, self.m), dtype=np.float32))
+                    else:
+                        outs.append(
+                            self._profile_from_curve(X[b, :nmeet[b]]))
             return outs
 
         profiles = structural_fused_w_all(

@@ -49,8 +49,10 @@ class StrucScattering(CoverAlgorithm):
         scattering and per-path normalization run on device per song
         chunk; only the flat descriptors cross back to the host."""
 
-        # Scattering2D at 512^2 holds ~J*L*size^2 complex temps per song;
-        # sub-batch it so the batched program stays inside HBM.
+        # Scattering2D at 512^2 holds ~0.5-1 GB of U1/order-2 complex
+        # temps per song; one song per dispatch measures FASTER than
+        # sub-batching at 512 (HBM pressure outweighs dispatch overhead);
+        # small test sizes batch up.
         sub = max(1, (128 // self.final_size) ** 2)
 
         def consume(Wb, lengths, onsets_list):

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 from acoss_tpu.data.store import FeatureSet
-from acoss_tpu.features.rhythm import tempogram_aggregated
+from acoss_tpu.features.rhythm import (tempogram_aggregated,
+                                       tempogram_aggregated_batch)
 from acoss_tpu.ops import crp, fusion
 from acoss_tpu.ops.segment import stack_memory, sync_agg
 from acoss_tpu.ops.structure import fused_w_batch
@@ -105,6 +106,7 @@ def _prep_base_features(
     downsample_fac: int,
     fuse_features: tuple,
     tempogram_win: int,
+    tempogram_precomputed: np.ndarray | None = None,
 ):
     """Host prep of song i's synced (UNstacked) base features.
 
@@ -131,8 +133,12 @@ def _prep_base_features(
         elif name == "hpcp":
             y = sync_agg(hpcp, onsets, "median")
         elif name == "tempogram":
-            snovfn = fs.feature("snovfn")[i, :fs.length("snovfn")[i], 0]
-            y = tempogram_aggregated(snovfn, onsets, tempogram_win)
+            if tempogram_precomputed is not None:
+                y = tempogram_precomputed
+            else:
+                snovfn = fs.feature("snovfn")[i,
+                                              :fs.length("snovfn")[i], 0]
+                y = tempogram_aggregated(snovfn, onsets, tempogram_win)
         else:
             raise ValueError(name)
         base[name] = np.nan_to_num(
@@ -171,13 +177,32 @@ def structural_fused_w_all(
     round trip) and scatters the per-song results `consume` returns back
     into song order.
     """
+    from acoss_tpu.utils.profiling import stages
+
     kinds = tuple("cosine" if f == "hpcp" else "euclidean"
                   for f in fuse_features)
-    preps = [
-        _prep_base_features(fs, i, chroma_type, do_sync, downsample_fac,
-                            fuse_features, tempogram_win)
-        for i in range(fs.n_songs)
-    ]
+    with stages.stage("struct:host_prep"):
+        tgs = [None] * fs.n_songs
+        if "tempogram" in fuse_features:
+            # all songs' synced tempograms in a few batched device calls
+            envs, bnds = [], []
+            for i in range(fs.n_songs):
+                envs.append(
+                    fs.feature("snovfn")[i, :fs.length("snovfn")[i], 0])
+                if do_sync:
+                    olen = fs.length("onsets")[i]
+                    bnds.append(fs.feature("onsets")[i, :olen, 0]
+                                .astype(np.int64))
+                else:
+                    bnds.append(np.arange(0, fs.length("mfcc_htk")[i],
+                                          downsample_fac))
+            tgs = tempogram_aggregated_batch(envs, bnds, tempogram_win)
+        preps = [
+            _prep_base_features(fs, i, chroma_type, do_sync,
+                                downsample_fac, fuse_features,
+                                tempogram_win, tempogram_precomputed=tgs[i])
+            for i in range(fs.n_songs)
+        ]
     results = [None] * fs.n_songs
     npads = [max(-(-n // bucket) * bucket,
                  2 * autotune_k(K, max(n, 2)), bucket)
@@ -207,12 +232,14 @@ def structural_fused_w_all(
                                np.int32)
             Ks = np.array(
                 [autotune_k(K, max(int(n), 2)) for n in lengths], np.int32)
-            W = fused_w_batch(tuple(feats), lengths, Ks, kinds,
-                              wins_per_block, niters=niters,
-                              sequential=sequential)
+            with stages.stage("struct:fused_w"):
+                W = stages.block(fused_w_batch(
+                    tuple(feats), lengths, Ks, kinds, wins_per_block,
+                    niters=niters, sequential=sequential))
             if consume is not None:
-                outs = consume(W, lengths,
-                               [preps[si][1] for si in padded_chunk])
+                with stages.stage("struct:consume"):
+                    outs = consume(W, lengths,
+                                   [preps[si][1] for si in padded_chunk])
                 for b, si in enumerate(chunk):
                     results[si] = outs[b]
             else:

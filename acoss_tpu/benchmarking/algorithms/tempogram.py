@@ -14,7 +14,7 @@ import numpy as np
 
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
-from acoss_tpu.features.rhythm import tempogram_aggregated
+from acoss_tpu.features.rhythm import tempogram_aggregated_batch
 from acoss_tpu.ops import alignment, crp
 
 
@@ -33,16 +33,16 @@ class TGAlg(CoverAlgorithm):
         self.pad_to_multiple = pad_to_multiple
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        rnn, sflux = [], []
+        envs, bounds = [], []
         nlen = fs.length("novfn")
         slen = fs.length("snovfn")
-        for i in range(fs.n_songs):
-            for name, out, ln in (("novfn", rnn, nlen),
-                                  ("snovfn", sflux, slen)):
-                env = fs.feature(name)[i, :ln[i], 0]
-                bounds = np.arange(0, ln[i], self.downsample_fac)
-                out.append(tempogram_aggregated(
-                    env, bounds, self.win_length).astype(np.float32))
+        for name, ln in (("novfn", nlen), ("snovfn", slen)):
+            for i in range(fs.n_songs):
+                envs.append(fs.feature(name)[i, :ln[i], 0])
+                bounds.append(np.arange(0, ln[i], self.downsample_fac))
+        tgs = [t.astype(np.float32) for t in
+               tempogram_aggregated_batch(envs, bounds, self.win_length)]
+        rnn, sflux = tgs[:fs.n_songs], tgs[fs.n_songs:]
         Lmax = max(x.shape[0] for x in rnn + sflux)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple
         rnn_arr, rlen = pad_stack(rnn, pad_to)

@@ -112,3 +112,70 @@ def tempogram_aggregated(onset_envelope: np.ndarray,
         jnp.asarray(padded), jnp.asarray(seg_ids), win_length, n_frames,
         nseg_pad))
     return sums[:n_seg] / counts[:, None]
+
+
+def tempogram_aggregated_batch(envelopes: list, boundaries_list: list,
+                               win_length: int = 384,
+                               batch_size: int = 16) -> list:
+    """`tempogram_aggregated` for a whole corpus: songs are grouped by
+    their padded shapes and swept `batch_size` at a time through ONE
+    vmapped device program per group (vs one dispatch per song).
+    Numerically identical to the per-song path. Returns the per-song
+    (n_segments, win_length) arrays in input order."""
+    from acoss_tpu.ops.segment import fix_frames
+
+    preps = []
+    for env, bounds in zip(envelopes, boundaries_list):
+        oenv = np.ascontiguousarray(env, dtype=np.float32).ravel()
+        L = oenv.size
+        b = fix_frames(bounds, L)
+        n_seg = len(b) - 1
+        seg_of_frame = np.zeros(L, dtype=np.int32)
+        seg_of_frame[b[1:-1]] = 1
+        seg_of_frame = np.cumsum(seg_of_frame).astype(np.int32)
+        counts = np.diff(b).astype(np.float64)
+        half = win_length // 2
+        ramped = np.concatenate([
+            np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
+            oenv,
+            np.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
+        ]).astype(np.float32)
+        pad_to = -(-(L + SHAPE_BUCKET) // SHAPE_BUCKET) * SHAPE_BUCKET
+        padded = np.zeros(pad_to + win_length, dtype=np.float32)
+        padded[:len(ramped)] = ramped
+        n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
+        seg_ids = np.full(n_frames, n_seg, dtype=np.int32)
+        seg_ids[:L] = seg_of_frame
+        nseg_pad = -(-(n_seg + 1) // 64) * 64
+        preps.append((padded, seg_ids, n_frames, nseg_pad, n_seg, counts))
+
+    by_shape: dict = {}
+    for i, p in enumerate(preps):
+        by_shape.setdefault((len(p[0]), p[2], p[3]), []).append(i)
+
+    out = [None] * len(preps)
+    for (plen, n_frames, nseg_pad), idxs in sorted(by_shape.items()):
+        for lo in range(0, len(idxs), batch_size):
+            chunk = idxs[lo:lo + batch_size]
+            B = min(batch_size, len(idxs))
+            pchunk = chunk + [chunk[0]] * (B - len(chunk))
+            P = np.stack([preps[i][0] for i in pchunk])
+            S = np.stack([preps[i][1] for i in pchunk])
+            sums = np.asarray(_tempogram_segsum_batch(
+                jnp.asarray(P), jnp.asarray(S), win_length, n_frames,
+                nseg_pad))
+            for b_, i in enumerate(chunk):
+                n_seg, counts = preps[i][4], preps[i][5]
+                out[i] = sums[b_, :n_seg] / counts[:, None]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("win_length", "n_frames",
+                                             "num_segments"))
+def _tempogram_segsum_batch(padded, seg_ids, win_length, n_frames,
+                            num_segments):
+    def one(p, s):
+        tg = _tempogram_jax(p, win_length, n_frames)
+        return jax.ops.segment_sum(tg.T, s, num_segments=num_segments)
+
+    return jax.vmap(one)(padded, seg_ids)

@@ -41,6 +41,8 @@ def main():
                     help="force the CPU backend")
     ap.add_argument("--songs", type=int, default=160)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stage-times", action="store_true",
+                    help="print the per-stage timing table per algorithm")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,14 +66,19 @@ def main():
     print(f"corpus: {fs.n_songs} songs, frames {lens.min()}-{lens.max()}, "
           f"built in {time.time() - t0:.1f}s", flush=True)
 
+    from acoss_tpu.utils.profiling import stages
+
     for name in args.algorithms:
         alg = algos[name]()
+        stages.reset()
         t0 = time.time()
         stats = benchmark(alg, fs)
         wall = time.time() - t0
         out = {k: round(float(v.map), 4) for k, v in stats.items()}
         print(json.dumps({"algorithm": name, "wall_s": round(wall, 1),
                           "map": out}), flush=True)
+        if args.stage_times:
+            print(stages.report(), flush=True)
 
 
 if __name__ == "__main__":
