@@ -25,7 +25,10 @@ from acoss_tpu.ops import alignment, crp, fusion
 
 class EarlySNF(Serra09):
     NAME = "EarlySNF"
-    TILE = 4
+    # 64 pairs/tile: measured 1.5x over TILE=4 on v5e; TILE=16 is ~15%
+    # faster still but its ~8 GB of per-pair SNF temps + the resident
+    # ssms corpus would crowd a 16 GB chip at covers80 scale
+    TILE = 8
 
     def __init__(self, chroma_type: str = "hpcp", oti: bool = True,
                  kappa: float = 0.095, m: int = 9,
