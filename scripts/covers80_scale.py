@@ -47,6 +47,9 @@ def main():
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # CPU programs + persistent cache entries compiled remotely with
+        # other machine features don't mix (SIGILL risk on replay)
+        os.environ.setdefault("ACOSS_TPU_NO_COMPILE_CACHE", "1")
         import jax
         jax.config.update("jax_platforms", "cpu")
 

@@ -8,6 +8,9 @@ path via __graft_entry__.dryrun_multichip).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets 'axon' (real TPU)
+# tests run CPU programs: skip the persistent XLA cache (it may hold CPU
+# code compiled remotely with host-incompatible machine features)
+os.environ.setdefault("ACOSS_TPU_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
