@@ -30,7 +30,7 @@ from acoss_tpu.benchmarking.algorithms.serra09 import global_chroma
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
 from acoss_tpu.ops import alignment, crp, fusion
-from acoss_tpu.ops.segment import stack_memory, uniform_downsample
+from acoss_tpu.ops.segment import (stack_memory, uniform_downsample_batch)
 
 
 class ChenFusion(CoverAlgorithm):
@@ -61,12 +61,14 @@ class ChenFusion(CoverAlgorithm):
     def extract_descriptors(self, fs: FeatureSet) -> dict:
         stacked, gchromas = [], []
         clen = fs.length(self.chroma_type)
+        chs = [fs.feature(self.chroma_type)[i, :clen[i]]
+               for i in range(fs.n_songs)]
+        ch_all = uniform_downsample_batch(chs, self.downsample_fac,
+                                          "median")
         for i in range(fs.n_songs):
-            ch = fs.feature(self.chroma_type)[i, :clen[i]]
-            gchromas.append(global_chroma(ch))
-            ch_ds = uniform_downsample(ch, self.downsample_fac, "median")
+            gchromas.append(global_chroma(chs[i]))
             stacked.append(
-                stack_memory(ch_ds, self.stack_n_steps, self.tau)
+                stack_memory(ch_all[i], self.stack_n_steps, self.tau)
                 .astype(np.float32))
         Lmax = max(s.shape[0] for s in stacked)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple

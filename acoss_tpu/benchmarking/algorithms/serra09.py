@@ -31,7 +31,8 @@ import numpy as np
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet, pad_stack
 from acoss_tpu.ops import alignment, crp
-from acoss_tpu.ops.segment import uniform_downsample
+from acoss_tpu.ops.segment import (uniform_downsample,
+                                    uniform_downsample_batch)
 from acoss_tpu.ops.ssm_features import build_ssms_device
 
 
@@ -70,19 +71,26 @@ class Serra09(CoverAlgorithm):
         chromas, mfccs, gchromas, full_mfccs = [], [], [], []
         clen = fs.length(self.chroma_type)
         mlen = fs.length("mfcc_htk")
+        chs = [fs.feature(self.chroma_type)[i, :clen[i]]
+               for i in range(fs.n_songs)]
+        mfs = [np.nan_to_num(fs.feature("mfcc_htk")[i, :mlen[i]],
+                             nan=0.0, posinf=0.0, neginf=0.0)
+               for i in range(fs.n_songs)]
+        # whole-corpus x40 downsample in a few batched device calls
+        ch_all = uniform_downsample_batch(chs, self.downsample_fac,
+                                          "median")
+        mf_all = uniform_downsample_batch(mfs, self.downsample_fac,
+                                          "mean")
         for i in range(fs.n_songs):
-            ch = fs.feature(self.chroma_type)[i, :clen[i]]
-            mf = fs.feature("mfcc_htk")[i, :mlen[i]]
-            mf = np.nan_to_num(mf, nan=0.0, posinf=0.0, neginf=0.0)
-            gchromas.append(global_chroma(ch))
-            ch_ds = uniform_downsample(ch, self.downsample_fac, "median")
-            mf_ds = uniform_downsample(mf, self.downsample_fac, "mean")
+            gchromas.append(global_chroma(chs[i]))
+            ch_ds, mf_ds = ch_all[i], mf_all[i]
             n = min(ch_ds.shape[0], mf_ds.shape[0])
             chromas.append(ch_ds[:n].astype(np.float32))
             mfccs.append(mf_ds[:n].astype(np.float32))
             if self.do_ssms:
                 full_mfccs.append(
-                    np.asarray(mf[:n * self.downsample_fac], np.float32))
+                    np.asarray(mfs[i][:n * self.downsample_fac],
+                               np.float32))
         # Pad to a lane-friendly multiple for the wavefront kernels.
         Lmax = max(c.shape[0] for c in chromas)
         pad_to = -(-Lmax // self.pad_to_multiple) * self.pad_to_multiple

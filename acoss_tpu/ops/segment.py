@@ -85,3 +85,64 @@ def stack_memory(X: np.ndarray, n_steps: int, delay: int = 1) -> np.ndarray:
             blk[s:] = X[:t - s]
         blocks.append(blk)
     return np.concatenate(blocks, axis=1)
+
+
+def uniform_downsample_batch(arrays: list, fac: int,
+                             aggregate: str = "median",
+                             bucket: int = 4096,
+                             batch_size: int = 16) -> list:
+    """`uniform_downsample` for a corpus: songs grouped by padded length
+    and aggregated on device in a few vmapped calls (masked medians /
+    count-correct means make the remainder window exact — equal to the
+    per-song host path up to float32 rounding). Returns per-song
+    (ceil(L_i / fac), d) float32 arrays in input order."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("fac", "agg"))
+    def down(X, lengths, fac, agg):
+        B, Lp, d = X.shape
+        nseg = Lp // fac
+        W = X.reshape(B, nseg, fac, d)
+        k = jnp.arange(nseg)[None, :]
+        c = jnp.clip(lengths[:, None] - k * fac, 0, fac)    # (B, nseg)
+        if agg == "mean":
+            s = jnp.sum(W, axis=2)
+            return s / jnp.maximum(c, 1)[..., None]
+        big = jnp.asarray(jnp.inf, X.dtype)
+        masked = jnp.where(jnp.arange(fac)[None, None, :, None]
+                           < c[..., None, None], W, big)
+        srt = jnp.sort(masked, axis=2)
+        cc = jnp.maximum(c, 1)
+        lo = jnp.take_along_axis(
+            srt, ((cc - 1) // 2)[..., None, None], axis=2)[:, :, 0]
+        hi = jnp.take_along_axis(
+            srt, (cc // 2)[..., None, None], axis=2)[:, :, 0]
+        return 0.5 * (lo + hi)
+
+    by_shape: dict = {}
+    for i, a in enumerate(arrays):
+        L = a.shape[0]
+        Lp = max(-(-L // bucket) * bucket, bucket)
+        by_shape.setdefault((Lp, a.shape[1]), []).append(i)
+
+    out = [None] * len(arrays)
+    for (Lp, d), idxs in sorted(by_shape.items()):
+        for lo_ in range(0, len(idxs), batch_size):
+            chunk = idxs[lo_:lo_ + batch_size]
+            B = min(batch_size, len(idxs))
+            pchunk = chunk + [chunk[0]] * (B - len(chunk))
+            X = np.zeros((B, -(-Lp // fac) * fac, d), np.float32)
+            lens = np.zeros(B, np.int32)
+            for b, i in enumerate(pchunk):
+                a = np.nan_to_num(np.asarray(arrays[i], np.float32),
+                                  nan=0.0, posinf=0.0, neginf=0.0)
+                X[b, :a.shape[0]] = a
+                lens[b] = a.shape[0]
+            Y = np.asarray(down(X, lens, fac, aggregate))
+            for b, i in enumerate(chunk):
+                n = -(-int(lens[b]) // fac)
+                out[i] = Y[b, :n]
+    return out
