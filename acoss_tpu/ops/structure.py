@@ -325,7 +325,8 @@ def _kmeans_labels(x: jax.Array, wmask: jax.Array, k: int, key: jax.Array,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("neigs", "meet_pad", "evec_smooth", "n_init", "iters"))
+    static_argnames=("neigs", "meet_pad", "evec_smooth", "n_init",
+                     "iters"))
 def laplacian_profile_batch(W: jax.Array, lengths: jax.Array,
                             times: jax.Array, neigs: int, meet_pad: int,
                             evec_smooth: int = 9, n_init: int = 50,
@@ -375,6 +376,10 @@ def laplacian_profile_batch(W: jax.Array, lengths: jax.Array,
                 sample_ok[:, None] & sample_ok[None, :]
             meet = jnp.where(same, float(level), meet)
 
+        # NOTE: a randomized symmetric top-k SVD (subspace iteration) was
+        # measured here and REJECTED: the meet matrix has large degenerate
+        # eigenspaces whose arbitrary rotations corrupt the SVD curve
+        # (snovfn_dmax MAP collapsed), and TPU QR is slow anyway.
         U, s, _ = jnp.linalg.svd(meet, full_matrices=False)
         s = s[:neigs]
         X = U[:, :neigs] * (s / jnp.maximum(s[0], 1e-12))[None, :]
