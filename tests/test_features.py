@@ -167,3 +167,32 @@ def test_onset_clicks_and_fingerprint(tmp_path):
     assert fp1 == fp2          # deterministic
     assert fp1 != fp3          # different content -> different print
     assert len(fp1) > 50
+
+
+def test_tempogram_aggregated_batch_matches_per_song(rng):
+    """Batched corpus tempogram == per-song path, bitwise."""
+    from acoss_tpu.features.rhythm import (tempogram_aggregated,
+                                           tempogram_aggregated_batch)
+    envs, bs = [], []
+    for L in (3000, 5000, 3100, 7000):
+        envs.append(rng.random(L).astype(np.float32))
+        bs.append(np.arange(0, L, 37))
+    got = tempogram_aggregated_batch(envs, bs, 96, batch_size=2)
+    for e, b, g in zip(envs, bs, got):
+        np.testing.assert_array_equal(g, tempogram_aggregated(e, b, 96))
+
+
+def test_uniform_downsample_batch_matches_per_song(rng):
+    """Batched x`fac` downsample == per-song host path (masked-median
+    remainder windows exact) to fp32 rounding."""
+    from acoss_tpu.ops.segment import (uniform_downsample,
+                                       uniform_downsample_batch)
+    arrs = [rng.normal(size=(L, 12)).astype(np.float32)
+            for L in (403, 160, 81, 4097)]
+    for agg in ("median", "mean"):
+        got = uniform_downsample_batch(arrs, 40, agg, bucket=128,
+                                       batch_size=2)
+        for a, g in zip(arrs, got):
+            ref = uniform_downsample(a, 40, agg)
+            assert ref.shape == g.shape
+            np.testing.assert_allclose(g, ref, atol=2e-5)
