@@ -225,6 +225,40 @@ def run_pairwise(
 
     t0 = time.time()
     n_done_this_run = 0
+    # Asynchronous dispatch pipelining: tile results stay ON DEVICE and
+    # are read back in batched flushes (one stacked transfer per
+    # `flush_every` tiles). jax dispatch is async, so the submit loop
+    # races ahead and the device executes tiles back-to-back — without
+    # this, a per-tile blocking readback inserts one host-link round trip
+    # between every two tiles (ruinous on thin links: a 2,000-song sweep
+    # is ~31k tiles).
+    import jax.numpy as jnp
+    flush_every = 128
+    pending: list = []
+
+    def flush_pending():
+        nonlocal n_done_this_run
+        if not pending:
+            return
+        with _prof.stages.stage("sweep:flush"):
+            stacked = {
+                k: np.asarray(jnp.stack([p[2][k] for p in pending]))
+                for k in algorithm.SIMILARITY_TYPES}
+        for b, (ti_, tj_, _) in enumerate(pending):
+            ij = np.meshgrid(row_idx + ti_ * tile, row_idx + tj_ * tile,
+                             indexing="ij")
+            # mask: in-bounds; symmetric sweeps keep the strict lower
+            keep = (ij[0] < n_songs) & (ij[1] < n_songs)
+            if algorithm.SYMMETRIC:
+                keep &= ij[0] > ij[1]
+            else:
+                keep &= ij[0] != ij[1]
+            for k in stacked:
+                Ds[k][ij[0][keep], ij[1][keep]] = stacked[k][b][keep]
+            done[ti_, tj_] = True
+            n_done_this_run += 1
+        pending.clear()
+
     for ti in range(n_tiles):
         # Zigzag column order maximizes feature-block reuse, mirroring the
         # reference's traversal (`CoverAlgorithm.py:294-295`).
@@ -250,24 +284,19 @@ def run_pairwise(
                     col = _tile_slice(desc, tj * tile, (tj + 1) * tile,
                                       tile)
                     scores = tile_fn(row, col)
-                scores = {k: np.asarray(v) for k, v in scores.items()}
-            r0, c0 = ti * tile, tj * tile
-            ij = np.meshgrid(row_idx + r0, row_idx + c0, indexing="ij")
-            # mask: in-bounds, and for symmetric sweeps keep strict lower.
-            keep = (ij[0] < n_songs) & (ij[1] < n_songs)
-            if algorithm.SYMMETRIC:
-                keep &= ij[0] > ij[1]
-            else:
-                keep &= ij[0] != ij[1]
-            for k, S in scores.items():
-                Ds[k][ij[0][keep], ij[1][keep]] = S[keep]
-            done[ti, tj] = True
-            n_done_this_run += 1
-            if n_done_this_run % checkpoint_every == 0:
+            pending.append((ti, tj, scores))
+            if len(pending) >= flush_every:
+                flush_pending()
+            if checkpoint_path and \
+                    n_done_this_run // checkpoint_every != \
+                    (n_done_this_run + len(pending)) // checkpoint_every:
+                flush_pending()
                 save_ckpt()
         if verbose:
+            flush_pending()
             print(f"[{algorithm.NAME}] block-row {ti + 1}/{n_tiles} "
                   f"({time.time() - t0:.1f}s)")
+    flush_pending()
     save_ckpt()
 
     if algorithm.SYMMETRIC and not skip_symmetrize:
