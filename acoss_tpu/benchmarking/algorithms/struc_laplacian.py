@@ -103,10 +103,20 @@ class StrucLaplacian(CoverAlgorithm):
             from acoss_tpu.utils.profiling import stages
 
             npad = Wb.shape[1]
-            meet_pad = npad + 128
+            # size the static meet-grid capacity from the TRUE per-song
+            # nmeet = round(tend / frame_size) with frame_size =
+            # (tend - t0) / (n - 1): a song whose first beat sits late in
+            # the file needs nmeet >> n, and clipping it at npad + 128
+            # would silently shorten its SVD curve vs the per-song path
+            need = npad + 128
             times = np.full((len(onsets_list), npad), 1e18, np.float32)
             for b, o in enumerate(onsets_list):
-                times[b, :len(o)] = o.astype(np.float64) * HOP_LENGTH / SR
+                t = o.astype(np.float64) * HOP_LENGTH / SR
+                times[b, :len(o)] = t
+                if len(o) >= 2:
+                    fs_ = max((t[-1] - t[0]) / (len(o) - 1), 1e-4)
+                    need = max(need, int(round(t[-1] / fs_)) + 8)
+            meet_pad = -(-need // 64) * 64
             with stages.stage("lap:profile_batch"):
                 X, nmeet = stages.block(laplacian_profile_batch(
                     Wb, lengths, times, self.neigs, meet_pad))

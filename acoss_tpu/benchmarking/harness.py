@@ -100,22 +100,22 @@ def _tile_slice(desc: dict, lo: int, hi: int, tile: int) -> dict:
     return out
 
 
-def _symmetrize_add_transpose(D, block: int = 4096) -> None:
-    """D <- D + D.T in place, blockwise (works on np.memmap without
-    materializing the matrix — the Da-TACOS-scale analog of the
-    reference's `D += D.T`, `CoverAlgorithm.py:180-182`)."""
+def _symmetrize_from_lower(D, block: int = 4096) -> None:
+    """Mirror the strict lower triangle of D onto the upper triangle in
+    place, blockwise (works on np.memmap without materializing the
+    matrix — the Da-TACOS-scale analog of the reference's `D += D.T`,
+    `CoverAlgorithm.py:180-182`, which is valid because tiles only ever
+    write strictly-lower entries). Pure assignment, so the pass is
+    IDEMPOTENT: a crash mid-symmetrize followed by a resume re-derives
+    the same upper triangle instead of double-adding."""
     n = D.shape[0]
     for i0 in range(0, n, block):
         i1 = min(i0 + block, n)
-        A = np.array(D[i0:i1, i0:i1])
+        A = np.tril(np.array(D[i0:i1, i0:i1]), -1)
         D[i0:i1, i0:i1] = A + A.T
         for j0 in range(0, i0, block):
             j1 = min(j0 + block, n)
-            A = np.array(D[i0:i1, j0:j1])
-            B = np.array(D[j0:j1, i0:i1])
-            S = A + B.T
-            D[i0:i1, j0:j1] = S
-            D[j0:j1, i0:i1] = S.T
+            D[j0:j1, i0:i1] = np.array(D[i0:i1, j0:j1]).T
 
 
 def run_pairwise(
@@ -300,16 +300,19 @@ def run_pairwise(
     save_ckpt()
 
     if algorithm.SYMMETRIC and not skip_symmetrize:
-        # persistent memmaps survive re-invocations: the flag file keeps
-        # the transpose-add from running twice on the same matrices
+        # the mirror pass is idempotent (assignment from the lower
+        # triangle, never +=), so a crash at ANY point — even
+        # mid-symmetrize — leaves a state a resume fixes up correctly;
+        # the flag file only short-circuits the re-run
         flag = (os.path.join(scores_dir, "symmetrized.flag")
                 if scores_dir is not None else None)
         if flag is None or not os.path.exists(flag):
             for k in Ds:
                 if scores_dir is not None:
-                    _symmetrize_add_transpose(Ds[k])
+                    _symmetrize_from_lower(Ds[k])
                 else:
-                    Ds[k] = Ds[k] + Ds[k].T
+                    L = np.tril(Ds[k], -1)
+                    Ds[k] = L + L.T
             if flag is not None:
                 with open(flag, "w") as f:
                     f.write("1")

@@ -92,7 +92,20 @@ def _cmd_benchmark_inner(args) -> int:
             return 1
         print(f"merging {len(paths)} partial files")
         Ds = merge_partials(paths, symmetric=algo.SYMMETRIC)
-        desc = algo.extract_descriptors(fs)
+        # post_process only ever needs the descriptors (ChenFusion's
+        # per-song lengths) — reuse a streamed store when one exists
+        # instead of re-running the most expensive host stage in the
+        # aggregation job
+        from acoss_tpu.data.descstore import DescriptorStore
+
+        desc_path = (os.path.join(args.stream_dir, "desc")
+                     if args.stream_dir else None)
+        if desc_path and os.path.exists(
+                os.path.join(desc_path, DescriptorStore.META)):
+            print(f"reusing descriptor store {desc_path}")
+            desc = DescriptorStore.open(desc_path)
+        else:
+            desc = algo.extract_descriptors(fs)
         _eval_and_report(algo, Ds, desc, fs, csv)
         return 0
 
@@ -135,6 +148,12 @@ def _cmd_benchmark_inner(args) -> int:
         from acoss_tpu.benchmarking.harness import run_pairwise
         from acoss_tpu.data.descstore import (DescriptorStore,
                                               extract_streamed)
+
+        if algo.full_scores is not None:
+            print(f"algorithm {args.algorithm} computes scores in one "
+                  f"shot (full_scores) and does not support --stream-dir",
+                  file=sys.stderr)
+            return 1
 
         desc_path = os.path.join(args.stream_dir, "desc")
         if os.path.exists(os.path.join(desc_path, DescriptorStore.META)):

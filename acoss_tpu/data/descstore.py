@@ -111,6 +111,12 @@ def extract_streamed(algorithm, fs, store_path: str,
         payload = {}
         for k, v in desc.items():
             v = np.asarray(v)
+            if v.dtype == object or v.ndim == 0 or v.shape[0] != hi - lo:
+                raise ValueError(
+                    f"algorithm {type(algorithm).__name__} does not "
+                    f"support streamed extraction: descriptor {k!r} is "
+                    f"not a fixed-rank array with leading dim n_songs "
+                    f"(got dtype={v.dtype}, shape={v.shape})")
             payload[k] = v
             prev = widths.get(k)
             widths[k] = (v.shape[1:] if prev is None else
@@ -125,9 +131,15 @@ def extract_streamed(algorithm, fs, store_path: str,
     for k in widths:
         store.ensure(k, widths[k], dtypes[k])
     for ci, lo in enumerate(starts):
-        with np.load(os.path.join(tmp_dir, f"chunk_{ci}.npz")) as z:
+        fn = os.path.join(tmp_dir, f"chunk_{ci}.npz")
+        with np.load(fn) as z:
             for k in z.files:
                 store.write(k, lo, z[k])
+        # drop each staged chunk as soon as it lands in the final
+        # memmaps: transient disk stays ~one chunk above the store's
+        # final size instead of doubling it (matters at the hundreds-of-GB
+        # Da-TACOS scale this module targets)
+        os.remove(fn)
     store.flush()
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return DescriptorStore.open(store_path)

@@ -25,7 +25,9 @@ import os
 
 import numpy as np
 
-from acoss_tpu.benchmarking.harness import CoverAlgorithm, run_pairwise
+from acoss_tpu.benchmarking.harness import (CoverAlgorithm,
+                                            _symmetrize_from_lower,
+                                            run_pairwise)
 
 
 def initialize(coordinator_address: str | None = None,
@@ -87,16 +89,35 @@ def run_process_shard(
     return path
 
 
-def merge_partials(paths: list[str], symmetric: bool = True) -> dict:
+def merge_partials(paths: list[str], symmetric: bool = True,
+                   out_dir: str | None = None) -> dict:
     """Scatter-add partial score files into the full matrices
-    (`load_batches`, `CoverAlgorithm.py:297-317`)."""
+    (`load_batches`, `CoverAlgorithm.py:297-317`).
+
+    Accumulates IN PLACE (peak host memory = the full matrices + one
+    partial's single type, not + a whole partial), optionally into `.npy`
+    memmaps under `out_dir` so the merged matrices never have to fit in
+    RAM at Da-TACOS scale."""
     Ds: dict = {}
     for p in paths:
         with np.load(p) as z:
             for k in z.files:
                 name = k[3:]
-                Ds[name] = Ds.get(name, 0) + z[k]
+                if name not in Ds:
+                    if out_dir is not None:
+                        os.makedirs(out_dir, exist_ok=True)
+                        Ds[name] = np.lib.format.open_memmap(
+                            os.path.join(out_dir, f"{name}.npy"),
+                            mode="w+", dtype=np.float32,
+                            shape=z[k].shape)
+                        Ds[name][:] = 0.0
+                    else:
+                        Ds[name] = np.zeros(z[k].shape, np.float32)
+                Ds[name] += z[k]
     if symmetric:
         for k in Ds:
-            Ds[k] = Ds[k] + Ds[k].T
+            # partials hold disjoint strict-lower tiles, so mirroring the
+            # lower triangle (blockwise, idempotent) is exact and never
+            # materializes a transposed temporary
+            _symmetrize_from_lower(Ds[k])
     return Ds
