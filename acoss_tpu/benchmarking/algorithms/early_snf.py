@@ -66,9 +66,11 @@ class EarlySNF(Serra09):
         Ws = [fusion.get_WCSMSSM(ssma_c, ssmb_c, csm_c, K,
                                  m_len=l1e, n_len=l2e)]
         if self.do_ssms:
-            csm_s = crp.get_csm(r["ssms"], c["ssms"])
-            ssma_s = crp.get_ssm(r["ssms"])
-            ssmb_s = crp.get_ssm(c["ssms"])
+            # centered distances: the 20736-dim scattering norms hit
+            # fp32 Gram cancellation otherwise (see crp.get_csm_centered)
+            csm_s = crp.get_csm_centered(r["ssms"], c["ssms"])
+            ssma_s = crp.get_ssm_centered(r["ssms"])
+            ssmb_s = crp.get_ssm_centered(c["ssms"])
             Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
                                          m_len=l1e, n_len=l2e))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
@@ -80,7 +82,7 @@ class EarlySNF(Serra09):
         # plain Serra09 CRPs "while we're at it" (`EarlySNF.py:60-83`)
         crps = [crp.csm_to_binary_mutual(csm_c, self.kappa, l1e, l2e)]
         csm_m = crp.sliding_csm_padded(
-            crp.get_csm(r["mfcc"], c["mfcc"]), m)
+            crp.get_csm_centered(r["mfcc"], c["mfcc"]), m)
         crps.append(crp.csm_to_binary_mutual(csm_m, self.kappa, l1e, l2e))
         if self.do_ssms:
             crps.append(crp.csm_to_binary_mutual(csm_s, self.kappa,

@@ -126,19 +126,24 @@ class Serra09(CoverAlgorithm):
         l1e = r["length"] - m + 1
         l2e = c["length"] - m + 1
 
-        def make(x1, x2, sliding):
-            csm = crp.get_csm(x1, x2)
+        def make(x1, x2, sliding, centered=False):
+            csm = (crp.get_csm_centered if centered else crp.get_csm)(
+                x1, x2)
             if sliding:
                 csm = crp.sliding_csm_padded(csm, m)
             return crp.csm_to_binary_mutual(csm, self.kappa, l1e, l2e)
 
         Bc = make(ch1, c["chroma"], True)
-        Bm = make(r["mfcc"], c["mfcc"], True)
+        # mfcc centered: HTK MFCCs carry a large leading energy term on
+        # real audio, the classic fp32 Gram-cancellation case
+        Bm = make(r["mfcc"], c["mfcc"], True, centered=True)
         if self.do_ssms:
             # ssms rows are already length-matched to M = n - m + 1, so the
             # effective lengths are the same l1e/l2e; no sliding CSM
-            # (`Serra09.py:188-195`).
-            Bs = make(r["ssms"], c["ssms"], False)
+            # (`Serra09.py:188-195`). Centered CSM: the 20736-dim
+            # scattering norms otherwise hit fp32 Gram cancellation.
+            csm = crp.get_csm_centered(r["ssms"], c["ssms"])
+            Bs = crp.csm_to_binary_mutual(csm, self.kappa, l1e, l2e)
             return (Bc, Bm, Bs), l1e, l2e
         return (Bc, Bm), l1e, l2e
 
@@ -171,21 +176,31 @@ class Serra09(CoverAlgorithm):
         l1 = jnp.repeat(row["length"], bj)
         l2 = jnp.tile(col["length"], bi)
 
-        def crps(X, Y):
+        def crps(X, Y, centered=False):
+            Xf = X.reshape((bi * bj,) + X.shape[2:])
+            Yf = Y.reshape((bi * bj,) + Y.shape[2:])
+            if centered:
+                # same per-pair shared origin as the XLA path
+                # (`crp.get_csm_centered`: row song's first frame); the
+                # kernel requires zero rows beyond l1/l2, so re-mask
+                c = Xf[:, :1]
+                Xf = jnp.where((jnp.arange(L) < l1[:, None])[..., None],
+                               Xf - c, 0.0)
+                Yf = jnp.where((jnp.arange(L) < l2[:, None])[..., None],
+                               Yf - c, 0.0)
             S, l1e, l2e = fused_binary_crp_batch(
-                X.reshape((bi * bj,) + X.shape[2:]),
-                Y.reshape((bi * bj,) + Y.shape[2:]),
-                l1, l2, kappa=self.kappa, m=self.m, interpret=interpret)
+                Xf, Yf, l1, l2, kappa=self.kappa, m=self.m,
+                interpret=interpret)
             return S.reshape(bi, bj, L, L), l1e, l2e
 
         Bc, l1e, l2e = crps(Xch, Ych)
-        Bm, _, _ = crps(Xm, Ym)
+        Bm, _, _ = crps(Xm, Ym, centered=True)
         Bs = (Bc, Bm)
         if self.do_ssms:
             # ssms descriptors (20736-dim) exceed VMEM for the fused
             # kernel; that channel stays on the XLA binarize path.
             def ssm_crp(r, c):
-                csm = crp.get_csm(r["ssms"], c["ssms"])
+                csm = crp.get_csm_centered(r["ssms"], c["ssms"])
                 return crp.csm_to_binary_mutual(
                     csm, self.kappa,
                     r["length"] - self.m + 1, c["length"] - self.m + 1)

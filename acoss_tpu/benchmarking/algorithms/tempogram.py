@@ -54,7 +54,11 @@ class TGAlg(CoverAlgorithm):
     def _pair_crps(self, r, c):
         out = []
         for key, lkey in (("rnn", "rnn_len"), ("sflux", "sflux_len")):
-            csm = crp.get_csm(r[key], c[key])
+            # centered: tempogram rows are highly correlated, so pair
+            # distances are small against their norms and the plain fp32
+            # Gram loses ~5e-4 — above the smallest kth-neighbor margins
+            # (see crp.get_csm_centered / scripts/crossimpl_parity.py)
+            csm = crp.get_csm_centered(r[key], c[key])
             out.append(crp.csm_to_binary(csm, self.kappa, r[lkey], c[lkey]))
         return tuple(out), (r["rnn_len"], r["sflux_len"]), \
             (c["rnn_len"], c["sflux_len"])

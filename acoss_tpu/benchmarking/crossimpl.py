@@ -1,0 +1,454 @@
+"""Cross-implementation parity: the reference's OWN scoring code vs ours.
+
+Everything downstream of feature prep in the reference's four alignment
+drivers is either pure numpy/scipy (`CRPUtils.py`, `SimilarityFusion.py`)
+or a small C file (`SequenceAlignment.c`) — all runnable in this
+environment. This module loads those modules FROM THE READ-ONLY MOUNT
+(no reference code is copied into the repo), compiles the C aligners at
+run time, re-types only the ~20-line per-pair driver glue of each
+algorithm (`Serra09.py:158-196`, `ChenFusion.py:57-85`,
+`Tempogram.py:53-70`, `EarlySNF.py:44-97`) on top of those imported
+reference functions, and feeds BOTH stacks the IDENTICAL descriptors that
+`acoss_tpu`'s algorithms extract. The result converts "parity by
+construction" into "parity by measurement": per-pair score deltas and
+per-channel MAP deltas between the reference's scoring path and the
+TPU scoring path, on shared inputs.
+
+Orientation note: for a pair (i, j) with i > j the harness scores with
+song i as the FIRST song (OTI-rolled song, CSM rows), matching how
+`harness.run_pairwise` fills the strict lower triangle (row = larger
+index). The reference driver's own first/second choice comes from its
+`itertools.combinations` order (`CoverAlgorithm.py:165-182`) — an
+arbitrary convention for the symmetric sweep; what is compared here is
+the per-pair scoring function itself on a fixed orientation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REF_DIR = "/root/reference/benchmarking"
+
+_REF_MODULES: dict = {}
+_REF_LIB = None
+
+
+def reference_available() -> bool:
+    return os.path.exists(os.path.join(REF_DIR, "CRPUtils.py"))
+
+
+def load_reference():
+    """Import the reference's `CRPUtils` and `SimilarityFusion` from the
+    read-only mount. `SimilarityFusion` imports librosa/matplotlib at
+    module scope but the functions used here (`get_W*`, `snf_ws`, `snf`)
+    never call librosa, so a stub module satisfies the import; matplotlib
+    is forced to the Agg backend."""
+    if _REF_MODULES:
+        return _REF_MODULES["CRPUtils"], _REF_MODULES["SimilarityFusion"]
+    if not reference_available():
+        raise RuntimeError(f"reference mount not found at {REF_DIR}")
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    if "librosa" not in sys.modules:
+        try:
+            import librosa  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("librosa")
+            stub.feature = types.ModuleType("librosa.feature")
+            stub.util = types.ModuleType("librosa.util")
+            sys.modules["librosa"] = stub
+    sys.path.insert(0, REF_DIR)
+    try:
+        import CRPUtils  # type: ignore
+        import SimilarityFusion  # type: ignore
+    finally:
+        sys.path.remove(REF_DIR)
+    _REF_MODULES["CRPUtils"] = CRPUtils
+    _REF_MODULES["SimilarityFusion"] = SimilarityFusion
+    return CRPUtils, SimilarityFusion
+
+
+def compile_reference_aligners():
+    """Compile `SequenceAlignment.c` from the mount and return
+    (qmax, dmax) callables with the `pySeqAlign.pyx` calling convention:
+    binary uint8 CSM in, float score out."""
+    global _REF_LIB
+    if _REF_LIB is None:
+        src = os.path.join(REF_DIR, "SequenceAlignment.c")
+        if not os.path.exists(src):
+            raise RuntimeError(f"{src} not found")
+        tmp = tempfile.mkdtemp(prefix="refalign_")
+        so = os.path.join(tmp, "libref.so")
+        subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src, "-o", so],
+                       check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        for name in ("qmax_c", "dmax_c", "swalignimpconstrained"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_float
+            fn.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                           ctypes.POINTER(ctypes.c_float),
+                           ctypes.c_int, ctypes.c_int]
+        _REF_LIB = lib
+    lib = _REF_LIB
+
+    def call(name, csm):
+        M, N = csm.shape
+        S = np.ascontiguousarray(csm, dtype=np.uint8).ravel()
+        D = np.zeros(M * N, dtype=np.float32)
+        return float(getattr(lib, name)(
+            S.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            D.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), M, N))
+
+    return (lambda csm: call("qmax_c", csm),
+            lambda csm: call("dmax_c", csm))
+
+
+# ---------------------------------------------------------------------------
+# Per-song views of the shared (acoss_tpu-extracted) descriptors, shaped the
+# way the reference per-pair drivers consume them.
+# ---------------------------------------------------------------------------
+
+def serra_song(desc: dict, i: int, m: int, do_ssms: bool) -> dict:
+    """One song's Serra09 features in the reference's `load_features`
+    layout (`Serra09.py:96-156`): chroma/mfcc as (d, n) column-per-frame
+    float64, ssms rows length-matched to n - m + 1."""
+    n = int(desc["length"][i])
+    out = {
+        "gchroma": np.asarray(desc["gchroma"][i], np.float64),
+        "chroma": np.asarray(desc["chroma"][i, :n], np.float64).T,
+        "mfcc": np.asarray(desc["mfcc"][i, :n], np.float64).T,
+    }
+    if do_ssms:
+        out["ssms"] = np.asarray(desc["ssms"][i][:max(n - m + 1, 1)],
+                                 np.float64)
+    return out
+
+
+def chen_song(desc: dict, i: int) -> dict:
+    n = int(desc["length"][i])
+    return {
+        "gchroma": np.asarray(desc["gchroma"][i], np.float64),
+        "stacked": np.asarray(desc["stacked"][i, :n], np.float64),
+    }
+
+
+def tempogram_song(desc: dict, i: int) -> dict:
+    return {
+        "tempogram_rnn":
+            np.asarray(desc["rnn"][i, :int(desc["rnn_len"][i])],
+                       np.float64),
+        "tempogram_sflux":
+            np.asarray(desc["sflux"][i, :int(desc["sflux_len"][i])],
+                       np.float64),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Tie-inclusive kNN binarize (diagnostic variant)
+# ---------------------------------------------------------------------------
+
+def tie_inclusive_binary(D: np.ndarray, kappa: float) -> np.ndarray:
+    """`CRPUtils.csm_to_binary` with rank-threshold tie handling: every
+    entry <= the kth-smallest row value is selected, instead of
+    `np.argpartition`'s ARBITRARY exact-k subset among ties. The two
+    policies differ only on tied distances — which the reference's own
+    repeat-padding of short scattering sequences (`Serra09.py:147-152`)
+    guarantees: ~m duplicated trailing ssms rows per song give exact tie
+    groups at the kth boundary. acoss_tpu's deterministic kNN
+    (`crp._row_knn_mask`) is tie-inclusive; this variant isolates that
+    policy difference from genuine numeric divergence (measured: 0
+    differing CRP cells vs acoss on tied ssms inputs where argpartition
+    differs in 46)."""
+    if kappa == 0:
+        return np.ones_like(D, dtype=np.uint8)
+    k = int(np.round(kappa * D.shape[1])) if kappa < 1 else int(kappa)
+    kth = np.partition(D, k - 1, 1)[:, k - 1]
+    return (D <= kth[:, None]).astype(np.uint8)
+
+
+def tie_inclusive_binary_mutual(D: np.ndarray, kappa: float) -> np.ndarray:
+    return tie_inclusive_binary(D, kappa) * \
+        tie_inclusive_binary(D.T, kappa).T
+
+
+def _binarizers(tie_inclusive: bool):
+    C, _ = load_reference()
+    if tie_inclusive:
+        return tie_inclusive_binary, tie_inclusive_binary_mutual
+    return C.csm_to_binary, C.csm_to_binary_mutual
+
+
+def tie_inclusive_get_S(W: np.ndarray, K) -> np.ndarray:
+    """`SimilarityFusion.get_S` (L1-normalized row-kNN, self included,
+    `SimilarityFusion.py:157-177`) with rank-threshold tie handling, for
+    the tie-inclusive diagnostic pass of the reference SNF. Returned
+    dense (ndarray `.dot` serves the sparse interface `snf_ws` uses)."""
+    K = int(K)
+    thresh = -np.partition(-W, K - 1, 1)[:, K - 1]
+    V = np.where(W >= thresh[:, None], W, 0.0)
+    norm = V.sum(1)
+    norm[norm == 0] = 1
+    return V / norm[:, None]
+
+
+def exact_dup_ssm(X: np.ndarray) -> np.ndarray:
+    """`CRPUtils.get_ssm` with the distance between BITWISE-EQUAL rows
+    snapped to exact 0, for the tie-inclusive diagnostic pass.
+
+    The reference's repeat-padding (`Serra09.py:147-152`) gives every
+    song ~m identical trailing ssms rows, and `get_ssm`'s x^2+y^2-2xy
+    Gram rounds their distance to ~1e-6 dust instead of 0. That dust is
+    then SELF-REFERENTIAL in `get_W`'s adaptive bandwidth: when a row's
+    k nearest neighbors all sit at the same dust distance d, Eps = d and
+    W = exp(-d^2 / (2*(d/2)^2)) = exp(-2) — a value determined entirely
+    by rounding noise (exact zeros would give W = 1 through the
+    denom==0 -> 1 substitution, which is what acoss_tpu's exact-0
+    centered path produces). Snapping duplicates to 0 removes only that
+    noise-determined degeneracy."""
+    C, _ = load_reference()
+    D = C.get_ssm(X)
+    _, inv = np.unique(X, axis=0, return_inverse=True)
+    D[inv[:, None] == inv[None, :]] = 0.0
+    return D
+
+
+class _patched_get_S:
+    """Temporarily swap the reference module's `get_S` global (which
+    `snf_ws` resolves at call time) for the tie-inclusive variant."""
+
+    def __enter__(self):
+        _, SF = load_reference()
+        self._SF, self._orig = SF, SF.get_S
+        SF.get_S = tie_inclusive_get_S
+        return self
+
+    def __exit__(self, *exc):
+        self._SF.get_S = self._orig
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Reference per-pair scoring (re-typed driver glue over imported functions)
+# ---------------------------------------------------------------------------
+
+def ref_serra09_pair(Si: dict, Sj: dict, kappa: float, m: int,
+                     do_ssms: bool, tie_inclusive: bool = False) -> dict:
+    """`Serra09.similarity`'s per-pair body (`Serra09.py:158-196`) on the
+    imported CRPUtils + compiled C aligners."""
+    C, _ = load_reference()
+    qmax, dmax = compile_reference_aligners()
+    _, binm = _binarizers(tie_inclusive)
+    out = {}
+
+    oti = C.get_oti(Si["gchroma"], Sj["gchroma"])
+    C1 = np.roll(Si["chroma"], oti, axis=0)
+    csm = C.get_csm(C1.T, Sj["chroma"].T)
+    csm = C.sliding_csm(csm, m)
+    csm = binm(csm, kappa)
+    M, N = csm.shape
+    out["chroma_qmax"] = qmax(csm) / (M + N)
+    out["chroma_dmax"] = dmax(csm) / (M + N)
+
+    csm = C.get_csm(Si["mfcc"].T, Sj["mfcc"].T)
+    csm = C.sliding_csm(csm, m)
+    csm = binm(csm, kappa)
+    M, N = csm.shape
+    out["mfcc_qmax"] = qmax(csm) / (M + N)
+    out["mfcc_dmax"] = dmax(csm) / (M + N)
+
+    if do_ssms:
+        csm = C.get_csm(Si["ssms"], Sj["ssms"])
+        csm = binm(csm, kappa)
+        M, N = csm.shape
+        out["ssms_scatter_qmax"] = qmax(csm) / (M + N)
+        out["ssms_scatter_dmax"] = dmax(csm) / (M + N)
+    return out
+
+
+def ref_earlysnf_pair(Si: dict, Sj: dict, kappa: float, m: int,
+                      snf_niters: int = 3,
+                      tie_inclusive: bool = False) -> dict:
+    """`EarlySNF.similarity`'s per-pair body (`EarlySNF.py:44-97`)."""
+    C, SF = load_reference()
+    qmax, dmax = compile_reference_aligners()
+    _, binm = _binarizers(tie_inclusive)
+    out = {}
+    Ws = []
+
+    oti = C.get_oti(Si["gchroma"], Sj["gchroma"])
+    C1 = np.roll(Si["chroma"], oti, axis=0)
+    csm = C.get_csm(C1.T, Sj["chroma"].T)
+    csm = C.sliding_csm(csm, m)
+    M, N = csm.shape
+    K = int(kappa * (M + N))
+    ssma = C.sliding_csm(C.get_csm(C1.T, C1.T), m)
+    ssmb = C.sliding_csm(C.get_csm(Sj["chroma"].T, Sj["chroma"].T), m)
+    Ws.append(SF.get_WCSMSSM(ssma, ssmb, csm, K))
+    b = binm(csm, kappa)
+    out["chroma_qmax"] = qmax(b) / (M + N)
+    out["chroma_dmax"] = dmax(b) / (M + N)
+
+    csm = C.get_csm(Si["mfcc"].T, Sj["mfcc"].T)
+    csm = C.sliding_csm(csm, m)
+    b = binm(csm, kappa)
+    out["mfcc_qmax"] = qmax(b) / (M + N)
+    out["mfcc_dmax"] = dmax(b) / (M + N)
+
+    csm = C.get_csm(Si["ssms"], Sj["ssms"])
+    get_ssm = exact_dup_ssm if tie_inclusive else C.get_ssm
+    Ws.append(SF.get_WCSMSSM(get_ssm(Si["ssms"]), get_ssm(Sj["ssms"]),
+                             csm, K))
+    b = binm(csm, kappa)
+    out["ssms_scatter_qmax"] = qmax(b) / (M + N)
+    out["ssms_scatter_dmax"] = dmax(b) / (M + N)
+
+    if tie_inclusive:
+        with _patched_get_S():
+            fused = SF.snf_ws(Ws, K=K, niters=snf_niters, reg_diag=True,
+                              verbose_times=False)
+    else:
+        fused = SF.snf_ws(Ws, K=K, niters=snf_niters, reg_diag=True,
+                          verbose_times=False)
+    cross = -fused[0:M, M:]
+    b = binm(cross, kappa)
+    out["snf_qmax"] = qmax(b) / (M + N)
+    out["snf_dmax"] = dmax(b) / (M + N)
+    return out
+
+
+def ref_chenfusion_pair(Si: dict, Sj: dict, kappa: float,
+                        tie_inclusive: bool = False) -> dict:
+    """`ChenFusion.similarity`'s per-pair body (`ChenFusion.py:57-67`):
+    blocked-OTI CSM, NON-mutual binarize, RAW qmax/dmax."""
+    C, _ = load_reference()
+    qmax, dmax = compile_reference_aligners()
+    bin_, _ = _binarizers(tie_inclusive)
+    csm = C.get_csm_blocked_oti(Si["stacked"], Sj["stacked"],
+                                Si["gchroma"], Sj["gchroma"],
+                                C.get_csm_euclidean)
+    csm = bin_(csm, kappa)
+    return {"qmax": qmax(csm), "dmax": dmax(csm)}
+
+
+def ref_tempogram_pair(Si: dict, Sj: dict, kappa: float,
+                       tie_inclusive: bool = False) -> dict:
+    """`TGAlg.similarity`'s per-pair body (`Tempogram.py:53-70`)."""
+    C, _ = load_reference()
+    qmax, dmax = compile_reference_aligners()
+    bin_, _ = _binarizers(tie_inclusive)
+    out = {}
+    for f in ("tempogram_rnn", "tempogram_sflux"):
+        csm = C.get_csm(Si[f], Sj[f])
+        csm = bin_(csm, kappa)
+        M, N = csm.shape
+        out[f"{f}_qmax"] = qmax(csm) / (M + N)
+        out[f"{f}_dmax"] = dmax(csm) / (M + N)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Whole-matrix reference sweeps + post passes
+# ---------------------------------------------------------------------------
+
+_SONG_FNS = {
+    "Serra09": lambda desc, i, kw: serra_song(desc, i, kw["m"],
+                                              kw["do_ssms"]),
+    "EarlySNF": lambda desc, i, kw: serra_song(desc, i, kw["m"], True),
+    "ChenFusion": lambda desc, i, kw: chen_song(desc, i),
+    "TGAlg": lambda desc, i, kw: tempogram_song(desc, i),
+}
+
+_PAIR_FNS = {
+    "Serra09": lambda Si, Sj, kw: ref_serra09_pair(
+        Si, Sj, kw["kappa"], kw["m"], kw["do_ssms"],
+        kw.get("tie_inclusive", False)),
+    "EarlySNF": lambda Si, Sj, kw: ref_earlysnf_pair(
+        Si, Sj, kw["kappa"], kw["m"], kw.get("snf_niters", 3),
+        kw.get("tie_inclusive", False)),
+    "ChenFusion": lambda Si, Sj, kw: ref_chenfusion_pair(
+        Si, Sj, kw["kappa"], kw.get("tie_inclusive", False)),
+    "TGAlg": lambda Si, Sj, kw: ref_tempogram_pair(
+        Si, Sj, kw["kappa"], kw.get("tie_inclusive", False)),
+}
+
+
+def reference_scores(name: str, desc: dict, n_songs: int,
+                     verbose: bool = False, **kw) -> dict:
+    """Reference-scored full matrices: strict lower triangle (i > j, song
+    i first) + symmetrize, exactly the orientation `run_pairwise`
+    produces. Per-song feature views are materialized ONCE (pulling a
+    device-resident ssms corpus to the host once per song, not once per
+    pair — this link moves D2H at 2-23 MB/s)."""
+    pair_fn = _PAIR_FNS[name]
+    song_fn = _SONG_FNS[name]
+    feats = [song_fn(desc, i, kw) for i in range(n_songs)]
+    Ds: dict = {}
+    for i in range(n_songs):
+        for j in range(i):
+            s = pair_fn(feats[i], feats[j], kw)
+            for k, v in s.items():
+                if k not in Ds:
+                    Ds[k] = np.zeros((n_songs, n_songs), np.float64)
+                Ds[k][i, j] = v
+        if verbose and (i + 1) % 8 == 0:
+            print(f"[crossimpl:{name}] reference rows {i + 1}/{n_songs}")
+    return {k: D + D.T for k, D in Ds.items()}
+
+
+def ref_chenfusion_post(Ds: dict, desc: dict, late_K: int = 20,
+                        late_niters: int = 20) -> dict:
+    """`normalize_by_length` + `do_late_fusion` (`ChenFusion.py:69-85`)
+    over imported reference SNF. `doSimilarityFusion` in the reference
+    source is the pre-rename spelling of `SimilarityFusion.snf` (same
+    signature/return)."""
+    _, SF = load_reference()
+    lengths = np.asarray(desc["length"], np.float64)
+    out = {}
+    with np.errstate(divide="ignore"):
+        for k in ("qmax", "dmax"):
+            out[k] = np.sqrt(lengths)[None, :] / np.asarray(Ds[k],
+                                                            np.float64)
+    late = SF.snf([out["qmax"], out["dmax"]], K=late_K,
+                  niters=late_niters, reg_diag=1, verbose_times=False)[1]
+    res = {k: -v for k, v in out.items()}
+    res["Late"] = late
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Head-to-head comparison
+# ---------------------------------------------------------------------------
+
+def compare_channels(ref: dict, tpu: dict, labels: np.ndarray,
+                     distance_types=()) -> list[dict]:
+    """Per-channel rows: max/mean per-pair |delta| (off-diagonal) and MAP
+    under both stacks (our bit-faithful `eval_statistics`)."""
+    from acoss_tpu.benchmarking.evaluation import eval_statistics
+
+    rows = []
+    n = len(labels)
+    off = ~np.eye(n, dtype=bool)
+    for k in sorted(ref):
+        A = np.asarray(ref[k], np.float64)
+        B = np.asarray(tpu[k], np.float64)
+        d = np.abs(A - B)[off]
+        sign = -1.0 if k in distance_types else 1.0
+        map_ref = eval_statistics(sign * A, labels).map
+        map_tpu = eval_statistics(sign * B, labels).map
+        rows.append({
+            "channel": k,
+            "n_pairs": int(off.sum() // 2),
+            "max_abs_dscore": float(d.max()) if d.size else 0.0,
+            "mean_abs_dscore": float(d.mean()) if d.size else 0.0,
+            "frac_within_1e3": float(np.mean(d <= 1e-3)),
+            "map_ref": float(map_ref),
+            "map_tpu": float(map_tpu),
+            "dmap": float(map_tpu - map_ref),
+        })
+    return rows

@@ -32,9 +32,16 @@ def get_ssm(X: jax.Array, length: jax.Array | None = None) -> jax.Array:
       length: optional scalar count of valid rows; padded rows produce
         garbage distances that callers must mask.
     """
-    sq = jnp.sum(X * X, axis=-1)
-    D2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
-        X, X.T, precision="highest")
+    # One Gram matmul; squared norms come from ITS diagonal rather than a
+    # separate row-reduce: within a single matmul, cells with identical
+    # input vectors reduce in the same order, so bitwise-equal rows i, j
+    # give G[i,i] == G[j,j] == G[i,j] and hence D2 == 0 EXACTLY. (The
+    # reference's repeat-padded ssms blocks make duplicate rows routine,
+    # `Serra09.py:147-152`, and a mixed-reduction sq leaves ~1e-4 fp32
+    # dust there that flips downstream kNN/affinity decisions.)
+    G = jnp.matmul(X, X.T, precision="highest")
+    sq = jnp.diagonal(G)
+    D2 = sq[:, None] + sq[None, :] - 2.0 * G
     D2 = jnp.maximum(D2, 0.0)
     D2 = D2 * (1.0 - jnp.eye(X.shape[0], dtype=D2.dtype))
     return jnp.sqrt(D2)
@@ -54,6 +61,29 @@ def get_csm(X: jax.Array, Y: jax.Array) -> jax.Array:
 
 
 get_csm_euclidean = get_csm
+
+
+def get_csm_centered(X: jax.Array, Y: jax.Array) -> jax.Array:
+    """`get_csm` after subtracting X's first row from BOTH point clouds.
+
+    Pairwise Euclidean distances are translation-invariant, so this is
+    exact in infinite precision — but in fp32 it removes the
+    catastrophic cancellation of the x^2 + y^2 - 2xy Gram trick when
+    feature norms are large. On the 20736-dim MFCC-SSM scattering
+    descriptors (`Serra09.py:186-195`) centering cuts the max CSM error
+    vs a float64 oracle from ~5e-4 to ~2e-6 and eliminates kth-neighbor
+    flips in the downstream mutual-kNN binarization (measured by
+    `scripts/crossimpl_parity.py`). X[0] is used as the shared origin
+    because the first row is always a valid (non-padding) block."""
+    c = X[0]
+    return get_csm(X - c[None, :], Y - c[None, :])
+
+
+def get_ssm_centered(X: jax.Array) -> jax.Array:
+    """`get_ssm` with the same shared-origin trick as
+    `get_csm_centered` (exact in infinite precision, far better fp32
+    conditioning for large-norm descriptors)."""
+    return get_ssm(X - X[0][None, :])
 
 
 def get_csm_cosine(X: jax.Array, Y: jax.Array) -> jax.Array:

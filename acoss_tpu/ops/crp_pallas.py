@@ -70,8 +70,13 @@ def _fused_kernel(m, kappa, metric, mutual, L,
         l2e = jnp.maximum(l2 - m + 1, 0)
         if metric == "cosine":
             # 1 - cos in [0, 2]: non-negative, bit-order == value order.
+            # precision=HIGHEST: the default TPU matmul truncates fp32
+            # operands to bf16 (~1e-3 relative), which flips kth-neighbor
+            # decisions vs the float64 reference scoring path; the (L, d)
+            # x (d, L) matmul is a negligible share of this kernel's cost
             xy = jax.lax.dot_general(
                 _norm_rows(x), _norm_rows(y), (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             csm = jnp.maximum(1.0 - xy, 0.0)
         else:  # squared Euclidean
@@ -79,6 +84,7 @@ def _fused_kernel(m, kappa, metric, mutual, L,
             sy = jnp.sum(y * y, axis=1, keepdims=True)
             xy = jax.lax.dot_general(
                 x, y, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
             csm = jnp.maximum(sx + sy.T - 2.0 * xy, 0.0)
         # The diagonal window sums csm^2 (`CRPUtils.py:24-45`); for the

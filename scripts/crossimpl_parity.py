@@ -1,0 +1,146 @@
+"""Cross-implementation parity harness (VERDICT round-2 item #1).
+
+Runs the reference's OWN scoring path — imported `CRPUtils` /
+`SimilarityFusion` + the compiled `SequenceAlignment.c` aligners — and
+`acoss_tpu`'s device scoring path on IDENTICAL descriptors, and diffs
+per-pair scores and per-channel MAP. See
+`acoss_tpu.benchmarking.crossimpl` for the machinery.
+
+Usage:
+    python scripts/crossimpl_parity.py [--cpu] [--n-cliques N]
+        [--algos Serra09,TGAlg,ChenFusion,EarlySNF]
+        [--out artifacts/crossimpl_parity.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the acoss_tpu side on the CPU backend")
+    ap.add_argument("--n-cliques", type=int, default=12)
+    ap.add_argument("--clique-size", type=int, default=2)
+    ap.add_argument("--n-distractors", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--algos",
+                    default="Serra09,TGAlg,ChenFusion,EarlySNF")
+    ap.add_argument("--out", default="artifacts/crossimpl_parity.csv")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from acoss_tpu.benchmarking import crossimpl
+    from acoss_tpu.benchmarking.algorithms import (ChenFusion, EarlySNF,
+                                                   Serra09, TGAlg)
+    from acoss_tpu.benchmarking.harness import run_pairwise
+    from acoss_tpu.data import make_synthetic_dataset
+
+    if not crossimpl.reference_available():
+        print("reference mount not available; nothing to compare",
+              file=sys.stderr)
+        return 1
+
+    fs = make_synthetic_dataset(
+        n_cliques=args.n_cliques, clique_size=args.clique_size,
+        n_distractors=args.n_distractors, seed=args.seed)
+    n = fs.n_songs
+    print(f"corpus: {n} songs "
+          f"({args.n_cliques}x{args.clique_size} + "
+          f"{args.n_distractors} distractors)")
+
+    # synthetic songs are 160-480 frames, so x4 downsampling gives the
+    # 40-120-sample descriptor range the reference sees on covers80
+    configs = {
+        "Serra09": lambda: Serra09(chroma_type="hpcp", downsample_fac=4,
+                                   do_ssms=True),
+        "TGAlg": lambda: TGAlg(downsample_fac=4, win_length=96),
+        "ChenFusion": lambda: ChenFusion(chroma_type="hpcp",
+                                         downsample_fac=4),
+        "EarlySNF": lambda: EarlySNF(chroma_type="hpcp",
+                                     downsample_fac=4),
+    }
+
+    all_rows = []
+    for name in args.algos.split(","):
+        algo = configs[name]()
+        t0 = time.time()
+        desc = algo.extract_descriptors(fs)
+        t_desc = time.time() - t0
+
+        t0 = time.time()
+        Ds_tpu = run_pairwise(algo, desc, n)
+        Ds_tpu = {k: np.asarray(v) for k, v in Ds_tpu.items()}
+        t_tpu = time.time() - t0
+
+        t0 = time.time()
+        kw = {"kappa": algo.kappa}
+        if name in ("Serra09", "EarlySNF"):
+            kw["m"] = algo.m
+        if name == "Serra09":
+            kw["do_ssms"] = algo.do_ssms
+        Ds_ref = crossimpl.reference_scores(name, desc, n, verbose=True,
+                                            **kw)
+        t_ref = time.time() - t0
+        print(f"[{name}] extract {t_desc:.1f}s, acoss sweep {t_tpu:.1f}s, "
+              f"reference sweep {t_ref:.1f}s")
+
+        rows = crossimpl.compare_channels(Ds_ref, Ds_tpu, fs.labels,
+                                          algo.DISTANCE_TYPES)
+        if name in ("Serra09", "EarlySNF", "TGAlg", "ChenFusion"):
+            # diagnostic pass: the same reference glue under the
+            # TIE-INCLUSIVE kNN policy — isolates argpartition's
+            # arbitrary tie choices (on the duplicate ssms rows the
+            # reference's repeat-padding creates) from real divergence
+            Ds_ti = crossimpl.reference_scores(name, desc, n,
+                                               tie_inclusive=True, **kw)
+            for r in crossimpl.compare_channels(Ds_ti, Ds_tpu, fs.labels,
+                                                algo.DISTANCE_TYPES):
+                r["channel"] += "[tie-incl]"
+                rows.append(r)
+        if name == "ChenFusion":
+            # post passes compared too: normalize_by_length + late SNF
+            post_ref = crossimpl.ref_chenfusion_post(Ds_ref, desc)
+            post_tpu = algo.post_process(dict(Ds_tpu), desc)
+            post_tpu = {k: np.asarray(v) for k, v in post_tpu.items()}
+            for r in crossimpl.compare_channels(post_ref, post_tpu,
+                                                fs.labels):
+                r["channel"] = "post_" + r["channel"]
+                rows.append(r)
+        for r in rows:
+            r["algorithm"] = name
+            all_rows.append(r)
+            print(f"  {r['channel']:<22} max|d|={r['max_abs_dscore']:.3e} "
+                  f"mean|d|={r['mean_abs_dscore']:.3e} "
+                  f"<=1e-3: {100 * r['frac_within_1e3']:.1f}%  "
+                  f"MAP ref={r['map_ref']:.4f} tpu={r['map_tpu']:.4f} "
+                  f"dMAP={r['dmap']:+.4f}")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    cols = ["algorithm", "channel", "n_pairs", "max_abs_dscore",
+            "mean_abs_dscore", "frac_within_1e3", "map_ref", "map_tpu",
+            "dmap"]
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for r in all_rows:
+            w.writerow({c: r[c] for c in cols})
+    print(f"\nwrote {args.out} ({len(all_rows)} channels)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,119 @@
+"""Cross-implementation parity: the reference's OWN scoring code
+(imported CRPUtils/SimilarityFusion + compiled SequenceAlignment.c) vs
+acoss_tpu's scoring path on IDENTICAL descriptors.
+
+These are small permanent slices of `scripts/crossimpl_parity.py`
+(see `artifacts/crossimpl_parity.csv` for the full-corpus sweep).
+Tie policy: the reference's `np.argpartition` picks an ARBITRARY exact-k
+subset among tied distances — ties the reference's own ssms repeat
+padding (`Serra09.py:147-152`) guarantees — so channels with tied
+descriptors are compared under the tie-inclusive diagnostic mode
+(`crossimpl.tie_inclusive_binary`), where agreement is ~1e-8; untied
+channels are compared against the literal reference path.
+
+Skipped when the reference mount is absent.
+"""
+
+import numpy as np
+import pytest
+
+from acoss_tpu.benchmarking import crossimpl
+
+pytestmark = pytest.mark.skipif(
+    not crossimpl.reference_available(),
+    reason="reference mount not available")
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from acoss_tpu.data import make_synthetic_dataset
+    return make_synthetic_dataset(n_cliques=3, clique_size=2, seed=7)
+
+
+def _acoss_scores(algo, desc, n):
+    from acoss_tpu.benchmarking.harness import run_pairwise
+    return {k: np.asarray(v) for k, v in
+            run_pairwise(algo, desc, n).items()}
+
+
+def _assert_rows(rows, tol):
+    for r in rows:
+        assert r["max_abs_dscore"] <= tol, \
+            f"{r['channel']}: max|d|={r['max_abs_dscore']:.3e} > {tol}"
+        assert r["dmap"] == pytest.approx(0.0, abs=1e-9), r
+
+
+def test_serra09_crossimpl(corpus):
+    from acoss_tpu.benchmarking.algorithms import Serra09
+
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4, do_ssms=True)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    kw = dict(kappa=algo.kappa, m=algo.m, do_ssms=True)
+
+    # untied channels vs the literal reference per-pair path
+    ref = crossimpl.reference_scores("Serra09", desc, n, **kw)
+    rows = crossimpl.compare_channels(ref, tpu, corpus.labels)
+    _assert_rows([r for r in rows if not
+                  r["channel"].startswith("ssms")], 1e-6)
+    # tied (ssms) channels: MAP must agree even under argpartition ties
+    for r in rows:
+        assert r["dmap"] == pytest.approx(0.0, abs=1e-9), r
+
+    # full agreement under the tie-inclusive diagnostic
+    ref_ti = crossimpl.reference_scores("Serra09", desc, n,
+                                        tie_inclusive=True, **kw)
+    _assert_rows(crossimpl.compare_channels(ref_ti, tpu, corpus.labels),
+                 1e-6)
+
+
+def test_earlysnf_crossimpl_tie_inclusive(corpus):
+    from acoss_tpu.benchmarking.algorithms import EarlySNF
+
+    algo = EarlySNF(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    ref_ti = crossimpl.reference_scores(
+        "EarlySNF", desc, n, kappa=algo.kappa, m=algo.m,
+        tie_inclusive=True)
+    _assert_rows(crossimpl.compare_channels(ref_ti, tpu, corpus.labels),
+                 1e-6)
+
+
+def test_tempogram_crossimpl(corpus):
+    from acoss_tpu.benchmarking.algorithms import TGAlg
+
+    algo = TGAlg(downsample_fac=4, win_length=96)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    ref = crossimpl.reference_scores("TGAlg", desc, n, kappa=algo.kappa)
+    rows = crossimpl.compare_channels(ref, tpu, corpus.labels)
+    # tempogram descriptors are continuous (no exact ties) but closely
+    # spaced; centered CSMs keep fp32 under the kth-neighbor margins
+    _assert_rows(rows, 1e-4)
+
+
+def test_chenfusion_crossimpl(corpus):
+    from acoss_tpu.benchmarking.algorithms import ChenFusion
+
+    # late_K scaled to the 6-song corpus (reference get_W needs
+    # K + 2 <= n)
+    algo = ChenFusion(chroma_type="hpcp", downsample_fac=4, late_K=4,
+                      late_niters=5)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    ref = crossimpl.reference_scores("ChenFusion", desc, n,
+                                     kappa=algo.kappa)
+    rows = crossimpl.compare_channels(ref, tpu, corpus.labels)
+    _assert_rows(rows, 1e-6)   # raw qmax/dmax: observed bit-exact
+
+    post_ref = crossimpl.ref_chenfusion_post(ref, desc, late_K=4,
+                                             late_niters=5)
+    post_tpu = {k: np.asarray(v)
+                for k, v in algo.post_process(dict(tpu), desc).items()}
+    _assert_rows(crossimpl.compare_channels(post_ref, post_tpu,
+                                            corpus.labels), 1e-5)
