@@ -69,10 +69,6 @@ class CoverAlgorithm:
         return np.full(fs.n_songs, 1, np.int32)
 
 
-def _slice_desc(desc: dict, lo: int, hi: int) -> dict:
-    return {k: v[lo:hi] for k, v in desc.items()}
-
-
 def _pad_desc(desc: dict, n_to: int) -> dict:
     out = {}
     for k, v in desc.items():
@@ -116,6 +112,137 @@ def _symmetrize_from_lower(D, block: int = 4096) -> None:
         for j0 in range(0, i0, block):
             j1 = min(j0 + block, n)
             D[j0:j1, i0:i1] = np.array(D[i0:i1, j0:j1]).T
+
+
+class _TileSweeper:
+    """Shared engine behind the pair-grid sweeps: score-matrix storage
+    (RAM or `scores_dir` .npy memmaps), the resumable tile ledger, the
+    async-dispatch pending buffer with batched readback flushes, and the
+    idempotent lower-triangle symmetrization. `run_pairwise` and
+    `run_pairwise_bucketed` differ only in how they enumerate tiles and
+    compute each tile's scores; everything else lives here."""
+
+    def __init__(self, sim_types, n_songs: int, tile: int,
+                 symmetric: bool, scores_dir: str | None,
+                 checkpoint_path: str | None, checkpoint_every: int = 16,
+                 flush_every: int = 128, ckpt_extra: dict | None = None):
+        self.sim_types = tuple(sim_types)
+        self.n_songs = n_songs
+        self.tile = tile
+        self.symmetric = symmetric
+        self.scores_dir = scores_dir
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        self.flush_every = flush_every
+        self.ckpt_extra = dict(ckpt_extra or {})
+        n_tiles = -(-n_songs // tile)
+        self.n_tiles = n_tiles
+
+        if scores_dir is not None:
+            os.makedirs(scores_dir, exist_ok=True)
+            self.Ds = {}
+            for k in self.sim_types:
+                fn = os.path.join(scores_dir, f"{k}.npy")
+                if os.path.exists(fn):
+                    self.Ds[k] = np.lib.format.open_memmap(fn, mode="r+")
+                else:
+                    self.Ds[k] = np.lib.format.open_memmap(
+                        fn, mode="w+", dtype=np.float32,
+                        shape=(n_songs, n_songs))
+        else:
+            self.Ds = {k: np.zeros((n_songs, n_songs), np.float32)
+                       for k in self.sim_types}
+        self.done = np.zeros((n_tiles, n_tiles), dtype=bool)
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            with np.load(checkpoint_path) as z:
+                meta_ok = (int(z["tile"]) == tile
+                           and int(z["n_songs"]) == n_songs
+                           and all(k in z and int(z[k]) == int(v)
+                                   for k, v in self.ckpt_extra.items()))
+                if meta_ok:
+                    self.done = z["done"]
+                    if scores_dir is None:
+                        for k in self.Ds:
+                            self.Ds[k] = z[f"D::{k}"]
+
+        self._row_idx = np.arange(tile)
+        self._pending: list = []
+        self._n_done_this_run = 0
+
+    def save_ckpt(self) -> None:
+        if not self.checkpoint_path:
+            return
+        payload = {"done": self.done, "tile": self.tile,
+                   "n_songs": self.n_songs, **self.ckpt_extra}
+        if self.scores_dir is None:
+            for k, D in self.Ds.items():
+                payload[f"D::{k}"] = D
+        else:
+            for D in self.Ds.values():
+                D.flush()
+        tmp = self.checkpoint_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, self.checkpoint_path)
+
+    def flush(self) -> None:
+        """Read back all pending tile results in ONE stacked transfer per
+        similarity type and scatter them into the matrices."""
+        import jax.numpy as jnp
+
+        if not self._pending:
+            return
+        with _prof.stages.stage("sweep:flush"):
+            stacked = {
+                k: np.asarray(jnp.stack([p[2][k] for p in self._pending]))
+                for k in self.sim_types}
+        for b, (ti, tj, _) in enumerate(self._pending):
+            ij = np.meshgrid(self._row_idx + ti * self.tile,
+                             self._row_idx + tj * self.tile,
+                             indexing="ij")
+            keep = (ij[0] < self.n_songs) & (ij[1] < self.n_songs)
+            if self.symmetric:
+                keep &= ij[0] > ij[1]
+            else:
+                keep &= ij[0] != ij[1]
+            for k in stacked:
+                self.Ds[k][ij[0][keep], ij[1][keep]] = stacked[k][b][keep]
+            self.done[ti, tj] = True
+            self._n_done_this_run += 1
+        self._pending.clear()
+
+    def submit(self, ti: int, tj: int, scores) -> None:
+        """Queue one tile's (still device-resident) scores; flushes in
+        batches so jax's async dispatch keeps the device busy."""
+        self._pending.append((ti, tj, scores))
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+        if self.checkpoint_path and \
+                self._n_done_this_run // self.checkpoint_every != \
+                (self._n_done_this_run + len(self._pending)) \
+                // self.checkpoint_every:
+            self.flush()
+            self.save_ckpt()
+
+    def finalize(self, skip_symmetrize: bool = False) -> dict:
+        self.flush()
+        self.save_ckpt()
+        if self.symmetric and not skip_symmetrize:
+            # idempotent mirror (assignment from the strict lower
+            # triangle): safe to re-run after a crash at any point
+            flag = (os.path.join(self.scores_dir, "symmetrized.flag")
+                    if self.scores_dir is not None else None)
+            if flag is None or not os.path.exists(flag):
+                for k in self.Ds:
+                    if self.scores_dir is not None:
+                        _symmetrize_from_lower(self.Ds[k])
+                    else:
+                        L = np.tril(self.Ds[k], -1)
+                        self.Ds[k] = L + L.T
+                if flag is not None:
+                    with open(flag, "w") as f:
+                        f.write("1")
+        return self.Ds
 
 
 def run_pairwise(
@@ -167,29 +294,10 @@ def run_pairwise(
     tile = tile or algorithm.TILE
     n_tiles = -(-n_songs // tile)
 
-    if scores_dir is not None:
-        os.makedirs(scores_dir, exist_ok=True)
-        Ds = {}
-        for k in algorithm.SIMILARITY_TYPES:
-            fn = os.path.join(scores_dir, f"{k}.npy")
-            if os.path.exists(fn):
-                Ds[k] = np.lib.format.open_memmap(fn, mode="r+")
-            else:
-                Ds[k] = np.lib.format.open_memmap(
-                    fn, mode="w+", dtype=np.float32,
-                    shape=(n_songs, n_songs))
-    else:
-        Ds = {k: np.zeros((n_songs, n_songs), np.float32)
-              for k in algorithm.SIMILARITY_TYPES}
-    done = np.zeros((n_tiles, n_tiles), dtype=bool)
-
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        with np.load(checkpoint_path) as z:
-            if int(z["tile"]) == tile and int(z["n_songs"]) == n_songs:
-                done = z["done"]
-                if scores_dir is None:
-                    for k in Ds:
-                        Ds[k] = z[f"D::{k}"]
+    sweep = _TileSweeper(algorithm.SIMILARITY_TYPES, n_songs, tile,
+                         algorithm.SYMMETRIC, scores_dir,
+                         checkpoint_path, checkpoint_every)
+    done = sweep.done
 
     if device_resident is None:
         device_resident = not any(isinstance(v, np.memmap)
@@ -207,58 +315,14 @@ def run_pairwise(
             return algorithm.tile_scores(row, col)
 
     tile_fn = jax.jit(algorithm.tile_scores)
-    row_idx = np.arange(tile)
-
-    def save_ckpt():
-        if not checkpoint_path:
-            return
-        payload = {"done": done, "tile": tile, "n_songs": n_songs}
-        if scores_dir is None:
-            for k, D in Ds.items():
-                payload[f"D::{k}"] = D
-        else:
-            for D in Ds.values():
-                D.flush()
-        tmp = checkpoint_path + ".tmp.npz"
-        np.savez(tmp, **payload)
-        os.replace(tmp, checkpoint_path)
 
     t0 = time.time()
-    n_done_this_run = 0
-    # Asynchronous dispatch pipelining: tile results stay ON DEVICE and
-    # are read back in batched flushes (one stacked transfer per
-    # `flush_every` tiles). jax dispatch is async, so the submit loop
-    # races ahead and the device executes tiles back-to-back — without
-    # this, a per-tile blocking readback inserts one host-link round trip
-    # between every two tiles (ruinous on thin links: a 2,000-song sweep
-    # is ~31k tiles).
-    import jax.numpy as jnp
-    flush_every = 128
-    pending: list = []
-
-    def flush_pending():
-        nonlocal n_done_this_run
-        if not pending:
-            return
-        with _prof.stages.stage("sweep:flush"):
-            stacked = {
-                k: np.asarray(jnp.stack([p[2][k] for p in pending]))
-                for k in algorithm.SIMILARITY_TYPES}
-        for b, (ti_, tj_, _) in enumerate(pending):
-            ij = np.meshgrid(row_idx + ti_ * tile, row_idx + tj_ * tile,
-                             indexing="ij")
-            # mask: in-bounds; symmetric sweeps keep the strict lower
-            keep = (ij[0] < n_songs) & (ij[1] < n_songs)
-            if algorithm.SYMMETRIC:
-                keep &= ij[0] > ij[1]
-            else:
-                keep &= ij[0] != ij[1]
-            for k in stacked:
-                Ds[k][ij[0][keep], ij[1][keep]] = stacked[k][b][keep]
-            done[ti_, tj_] = True
-            n_done_this_run += 1
-        pending.clear()
-
+    # Asynchronous dispatch pipelining (see _TileSweeper.submit/flush):
+    # tile results stay ON DEVICE and are read back in batched flushes,
+    # so the submit loop races ahead and the device executes tiles
+    # back-to-back — without this, a per-tile blocking readback inserts
+    # one host-link round trip between every two tiles (ruinous on thin
+    # links: a 2,000-song sweep is ~31k tiles).
     for ti in range(n_tiles):
         # Zigzag column order maximizes feature-block reuse, mirroring the
         # reference's traversal (`CoverAlgorithm.py:294-295`).
@@ -284,97 +348,56 @@ def run_pairwise(
                     col = _tile_slice(desc, tj * tile, (tj + 1) * tile,
                                       tile)
                     scores = tile_fn(row, col)
-            pending.append((ti, tj, scores))
-            if len(pending) >= flush_every:
-                flush_pending()
-            if checkpoint_path and \
-                    n_done_this_run // checkpoint_every != \
-                    (n_done_this_run + len(pending)) // checkpoint_every:
-                flush_pending()
-                save_ckpt()
+            sweep.submit(ti, tj, scores)
         if verbose:
-            flush_pending()
+            sweep.flush()
             print(f"[{algorithm.NAME}] block-row {ti + 1}/{n_tiles} "
                   f"({time.time() - t0:.1f}s)")
-    flush_pending()
-    save_ckpt()
-
-    if algorithm.SYMMETRIC and not skip_symmetrize:
-        # the mirror pass is idempotent (assignment from the lower
-        # triangle, never +=), so a crash at ANY point — even
-        # mid-symmetrize — leaves a state a resume fixes up correctly;
-        # the flag file only short-circuits the re-run
-        flag = (os.path.join(scores_dir, "symmetrized.flag")
-                if scores_dir is not None else None)
-        if flag is None or not os.path.exists(flag):
-            for k in Ds:
-                if scores_dir is not None:
-                    _symmetrize_from_lower(Ds[k])
-                else:
-                    L = np.tril(Ds[k], -1)
-                    Ds[k] = L + L.T
-            if flag is not None:
-                with open(flag, "w") as f:
-                    f.write("1")
-    return Ds
+    return sweep.finalize(skip_symmetrize)
 
 
-def _sweep_block(
-    tile_fn,
-    desc_row: dict,
-    desc_col: dict,
-    n_rows: int,
-    n_cols: int,
-    sim_types,
-    tile: int,
-    lower_only: bool,
-) -> dict:
-    """Sweep a rectangular block of the pair grid with one jitted call per
-    (tile x tile) sub-block. `lower_only` keeps strictly-lower tiles (the
-    symmetric diagonal-block case)."""
-    nt_r = -(-n_rows // tile)
-    nt_c = -(-n_cols // tile)
-    desc_row = _pad_desc(desc_row, nt_r * tile)
-    desc_col = _pad_desc(desc_col, nt_c * tile)
-    out = {k: np.zeros((n_rows, n_cols), np.float32) for k in sim_types}
-    idx = np.arange(tile)
-    for ti in range(nt_r):
-        cols = range(min(ti + 1, nt_c)) if lower_only else range(nt_c)
-        row = _slice_desc(desc_row, ti * tile, (ti + 1) * tile)
-        for tj in cols:
-            col = _slice_desc(desc_col, tj * tile, (tj + 1) * tile)
-            scores = tile_fn(row, col)
-            ij = np.meshgrid(idx + ti * tile, idx + tj * tile,
-                             indexing="ij")
-            keep = (ij[0] < n_rows) & (ij[1] < n_cols)
-            if lower_only:
-                keep &= ij[0] > ij[1]
-            for k, S in scores.items():
-                out[k][ij[0][keep], ij[1][keep]] = np.asarray(S)[keep]
-    return out
+def _bucket_edges(n_songs: int, n_buckets: int, tile: int) -> np.ndarray:
+    """Equal song splits with every INTERIOR boundary rounded to a tile
+    multiple, so each (tile x tile) tile of the global grid lies entirely
+    inside one bucket-block. Returns boundaries [0, ..., n_songs]."""
+    raw = np.cumsum([len(a) for a in
+                     np.array_split(np.arange(n_songs), n_buckets)])[:-1]
+    interior = [int(round(e / tile)) * tile for e in raw]
+    edges = np.unique([0] + interior + [n_songs])
+    return edges[(edges >= 0) & (edges <= n_songs)]
 
 
-def _pad_axis1(desc: dict, ref: dict) -> dict:
-    """Pad ragged (axis-1) descriptor arrays up to the partner bucket's
-    lengths so one jitted tile kernel serves the cross-bucket block."""
-    out = {}
-    for k, v in desc.items():
-        target = ref[k].shape
-        if v.ndim >= 2 and v.shape[1] < target[1]:
-            pad = [(0, 0)] * v.ndim
-            pad[1] = (0, target[1] - v.shape[1])
-            v = np.pad(v, pad)
-        out[k] = v
-    return out
+def _pad_tile_pair_axis1(row: dict, col: dict):
+    """Pad each >=2-D descriptor of a cross-bucket tile pair up to the
+    pair's max axis-1 extent (static under jit: one trace per bucket-pair
+    shape combination)."""
+    import jax.numpy as jnp
+
+    out_r, out_c = {}, {}
+    for k in row:
+        r, c = row[k], col[k]
+        if r.ndim >= 2 and r.shape[1] != c.shape[1]:
+            L = max(r.shape[1], c.shape[1])
+            if r.shape[1] < L:
+                r = jnp.pad(r, [(0, 0), (0, L - r.shape[1])]
+                            + [(0, 0)] * (r.ndim - 2))
+            if c.shape[1] < L:
+                c = jnp.pad(c, [(0, 0), (0, L - c.shape[1])]
+                            + [(0, 0)] * (c.ndim - 2))
+        out_r[k], out_c[k] = r, c
+    return out_r, out_c
 
 
-def _merge_bucket_descs(descs: list[dict], inv: np.ndarray) -> dict:
-    """Concatenate per-bucket descriptor dicts back into caller song order
+def _merge_bucket_descs(descs: list[dict], inv: np.ndarray,
+                        keys=None) -> dict:
+    """Concatenate per-bucket descriptor dicts back into `inv` song order
     (axis-1 padded up to the widest bucket) so `post_process` can consume
-    them without a second whole-corpus extraction."""
+    them without a second whole-corpus extraction. `keys` restricts the
+    merge (e.g. to the small 1-D/2-D keys when buckets are disk
+    stores)."""
     out = {}
-    for k in descs[0]:
-        arrs = [d[k] for d in descs]
+    for k in (keys if keys is not None else descs[0]):
+        arrs = [np.asarray(d[k]) for d in descs]
         width = max(a.shape[1] for a in arrs if a.ndim >= 2) \
             if arrs[0].ndim >= 2 else None
         if width is not None:
@@ -392,110 +415,253 @@ def run_pairwise_bucketed(
     verbose: bool = False,
     checkpoint_path: str | None = None,
     return_desc: bool = False,
+    scores_dir: str | None = None,
+    stream_dir: str | None = None,
+    stream_chunk: int = 256,
+    device_resident: bool | None = None,
+    checkpoint_every: int = 16,
+    return_perm: bool = False,
 ):
-    """Length-bucketed pair sweep: songs are grouped by length so a tile of
-    pairs shares padding (the reference's ~10x song-length spread otherwise
-    pads every pair to the global max — SURVEY.md section 5). Descriptors
-    are extracted per bucket at the bucket's own padded length; cross-bucket
-    blocks pad the shorter bucket's arrays up to the pair's max.
+    """Length-bucketed pair sweep on the SAME machinery as `run_pairwise`:
+    device-resident per-bucket descriptor corpora sliced with traced
+    offsets, async-dispatch pipelining with batched readback flushes, a
+    tile-granular resumable ledger, and (optionally) `.npy`-memmapped
+    score matrices.
 
-    Songs are processed in length-sorted order internally (so cross-bucket
-    blocks always have row-index > col-index and the symmetric-score
-    orientation stays consistent); the output matrices are unpermuted back.
-    For a length-sorted FeatureSet the result equals `run_pairwise`
-    exactly; otherwise the (arbitrary) orientation convention of symmetric
-    scores is "row = longer song" instead of "row = larger index".
+    Songs are length-sorted and split into buckets whose boundaries are
+    rounded to tile multiples, so every tile of the global grid lies in
+    exactly ONE bucket-block: descriptors are extracted per bucket at the
+    bucket's own padded length (the reference's ~10x song-length spread
+    otherwise pads every pair to the global max — SURVEY.md section 5),
+    and cross-bucket tiles pad the shorter side up to the pair's max
+    INSIDE the jitted tile program (one compile per bucket-pair shape,
+    O(n_buckets^2) programs total).
 
-    With `checkpoint_path`, a bucket-block ledger (which (bi, bj) blocks
-    are complete, plus the partial matrices) is saved after every block
-    and the sweep resumes from it — the bucketed analog of
-    `run_pairwise`'s tile ledger (`CoverAlgorithm.py:262-292`).
+    `stream_dir`: Da-TACOS-scale mode — each bucket's descriptors live in
+    a disk-backed `DescriptorStore` under `stream_dir/desc/bucket_NNNN`
+    (reused on resume: a fifth checkpoint tier), tiles are sliced from
+    the memmaps with the row tile pinned on device per block-row, and
+    scores go to `stream_dir/scores` memmaps unless `scores_dir`
+    overrides.
 
-    Returns Ds, or (Ds, merged_desc) when `return_desc` (merged_desc is
-    the per-bucket descriptors reassembled in caller order for
-    `post_process` — no second extraction pass).
+    Ordering: with in-RAM scores (scores_dir is None and no stream_dir)
+    the returned matrices are unpermuted back to the caller's song order.
+    With memmapped scores they STAY in length-sorted order (unpermuting
+    would materialize RAM copies); pass `return_perm=True` to get the
+    sort permutation and evaluate with `labels[perm]` — retrieval stats
+    are permutation-invariant. `return_desc` appends the merged
+    descriptors (caller order for RAM scores, sorted order otherwise).
+
+    Returns Ds [, merged_desc][, perm].
     """
     tile = tile or algorithm.TILE
+    n = fs.n_songs
     lengths = np.asarray(algorithm.bucket_lengths(fs))
     perm = np.argsort(lengths, kind="stable")
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
-    fs = fs.subset(perm)
-    edges = np.array_split(np.arange(fs.n_songs), n_buckets)
-    buckets = [e for e in edges if len(e)]
-    descs = [algorithm.extract_descriptors(fs.subset(idx))
-             for idx in buckets]
-    tile_fn = jax.jit(algorithm.tile_scores)
-    n = fs.n_songs
-    nb = len(buckets)
-    Ds = {k: np.zeros((n, n), np.float32)
-          for k in algorithm.SIMILARITY_TYPES}
-    done = np.zeros((nb, nb), dtype=bool)
+    fss = fs.subset(perm)
+    edges = _bucket_edges(n, n_buckets, tile)
+    nb = len(edges) - 1
+    if scores_dir is None and stream_dir is not None:
+        scores_dir = os.path.join(stream_dir, "scores")
 
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        with np.load(checkpoint_path) as z:
-            if (int(z["n_songs"]) == n and int(z["n_buckets"]) == nb
-                    and int(z["tile"]) == tile):
-                done = z["done"]
-                for k in Ds:
-                    Ds[k] = z[f"D::{k}"]
+    descs: list[dict] = []
+    for b in range(nb):
+        lo, hi = int(edges[b]), int(edges[b + 1])
+        if stream_dir is not None:
+            from acoss_tpu.data.descstore import (DescriptorStore,
+                                                  extract_streamed)
 
-    def save_ckpt():
-        if not checkpoint_path:
-            return
-        payload = {"done": done, "n_songs": n, "n_buckets": nb,
-                   "tile": tile}
-        for k, D in Ds.items():
-            payload[f"D::{k}"] = D
-        tmp = checkpoint_path + ".tmp.npz"
-        np.savez(tmp, **payload)
-        os.replace(tmp, checkpoint_path)
-
-    for bi in range(nb):
-        idx_i = buckets[bi]
-        for bj in range(bi + 1):
-            if done[bi, bj]:
-                continue
-            idx_j = buckets[bj]
-            if bi == bj:
-                sub = _sweep_block(tile_fn, descs[bi], descs[bi],
-                                   len(idx_i), len(idx_i),
-                                   algorithm.SIMILARITY_TYPES, tile,
-                                   lower_only=algorithm.SYMMETRIC)
-                for k in Ds:
-                    Ds[k][np.ix_(idx_i, idx_i)] = sub[k]
+            path = os.path.join(stream_dir, "desc", f"bucket_{b:04d}")
+            if os.path.exists(os.path.join(path, DescriptorStore.META)):
+                if verbose:
+                    print(f"[{algorithm.NAME}] reusing bucket store "
+                          f"{path}")
+                descs.append(DescriptorStore.open(path))
             else:
-                di = _pad_axis1(descs[bi], descs[bj])
-                dj = _pad_axis1(descs[bj], descs[bi])
-                sub = _sweep_block(tile_fn, di, dj, len(idx_i),
-                                   len(idx_j),
-                                   algorithm.SIMILARITY_TYPES, tile,
-                                   lower_only=False)
-                for k in Ds:
-                    Ds[k][np.ix_(idx_i, idx_j)] = sub[k]
-                if not algorithm.SYMMETRIC:
-                    sub2 = _sweep_block(tile_fn, dj, di, len(idx_j),
-                                        len(idx_i),
-                                        algorithm.SIMILARITY_TYPES, tile,
-                                        lower_only=False)
-                    for k in Ds:
-                        Ds[k][np.ix_(idx_j, idx_i)] = sub2[k]
-            done[bi, bj] = True
-            save_ckpt()
+                with _prof.stages.stage("extract:bucket"):
+                    descs.append(extract_streamed(
+                        algorithm, fss.subset(np.arange(lo, hi)), path,
+                        chunk_songs=stream_chunk, verbose=verbose))
+        else:
+            with _prof.stages.stage("extract:bucket"):
+                descs.append(algorithm.extract_descriptors(
+                    fss.subset(np.arange(lo, hi))))
+
+    if device_resident is None:
+        device_resident = stream_dir is None and not any(
+            isinstance(v, np.memmap) for d in descs for v in d.values())
+
+    n_tiles = -(-n // tile)
+    tile0 = edges[:-1] // tile
+    bucket_of = np.searchsorted(edges, np.arange(n_tiles) * tile,
+                                side="right") - 1
+
+    dev = None
+    if device_resident:
+        dev = [jax.device_put(_pad_desc(
+            dict(d), -(-(int(edges[b + 1] - edges[b])) // tile) * tile))
+            for b, d in enumerate(descs)]
+
+        @jax.jit   # re-traces once per bucket-pair shape combination
+        def tile_at(dd_i, dd_j, ti_loc, tj_loc):
+            row = {k: jax.lax.dynamic_slice_in_dim(v, ti_loc * tile, tile)
+                   for k, v in dd_i.items()}
+            col = {k: jax.lax.dynamic_slice_in_dim(v, tj_loc * tile, tile)
+                   for k, v in dd_j.items()}
+            row, col = _pad_tile_pair_axis1(row, col)
+            return algorithm.tile_scores(row, col)
+
+    tile_fn = jax.jit(
+        lambda r, c: algorithm.tile_scores(*_pad_tile_pair_axis1(r, c)))
+
+    sweep = _TileSweeper(algorithm.SIMILARITY_TYPES, n, tile,
+                         algorithm.SYMMETRIC, scores_dir,
+                         checkpoint_path, checkpoint_every,
+                         ckpt_extra={"n_buckets": nb, "bucketed": 1})
+    done = sweep.done
+    t0 = time.time()
+    for ti in range(n_tiles):
+        bi = int(bucket_of[ti])
+        cols = list(range(ti + 1)) if algorithm.SYMMETRIC \
+            else list(range(n_tiles))
+        if ti % 2 == 1:
+            cols = cols[::-1]
+        row_host = None
+        if not device_resident:
+            lo_i = ti * tile - int(edges[bi])
+            row_host = jax.device_put(
+                _tile_slice(descs[bi], lo_i, lo_i + tile, tile))
+        for tj in cols:
+            if done[ti, tj]:
+                continue
+            bj = int(bucket_of[tj])
+            with _prof.stages.stage("sweep:tile"), \
+                    _prof.step_annotation("tile", ti=ti, tj=tj):
+                if device_resident:
+                    scores = tile_at(dev[bi], dev[bj],
+                                     np.int32(ti - tile0[bi]),
+                                     np.int32(tj - tile0[bj]))
+                else:
+                    lo_j = tj * tile - int(edges[bj])
+                    col = _tile_slice(descs[bj], lo_j, lo_j + tile, tile)
+                    scores = tile_fn(row_host, col)
+            sweep.submit(ti, tj, scores)
         if verbose:
-            print(f"[{algorithm.NAME}] bucket-row {bi + 1}/{nb}")
-    if algorithm.SYMMETRIC:
-        for k in Ds:
-            tri = np.tril(Ds[k], -1)
-            Ds[k] = tri + tri.T
-    else:
-        for k in Ds:
-            np.fill_diagonal(Ds[k], 0.0)
-    # unpermute back to the caller's song order
-    Ds = {k: D[np.ix_(inv, inv)] for k, D in Ds.items()}
+            sweep.flush()
+            print(f"[{algorithm.NAME}] block-row {ti + 1}/{n_tiles} "
+                  f"(bucket {bi + 1}/{nb}, {time.time() - t0:.1f}s)")
+    Ds = sweep.finalize()
+
+    sorted_order = scores_dir is not None
+    if not sorted_order:
+        Ds = {k: D[np.ix_(inv, inv)] for k, D in Ds.items()}
+    ret = [Ds]
     if return_desc:
-        return Ds, _merge_bucket_descs(descs, inv)
-    return Ds
+        order = np.arange(n) if sorted_order else inv
+        keys = None
+        if stream_dir is not None:
+            # disk-store buckets: merge only the small keys into RAM
+            # (post_process hooks read lengths/global vectors, never the
+            # bulk descriptors — e.g. ChenFusion's `length`,
+            # `ChenFusion.py:71-80`)
+            keys = [k for k, v in descs[0].items()
+                    if v[:1].nbytes <= 65536]
+        ret.append(_merge_bucket_descs(descs, order, keys=keys))
+    if return_perm:
+        ret.append(perm)
+    return ret[0] if len(ret) == 1 else tuple(ret)
+
+
+def run_pairwise_hybrid(
+    algorithm: CoverAlgorithm,
+    desc: dict,
+    n_songs: int,
+    panel_songs: int = 128,
+    tile: int | None = None,
+    scores_dir: str | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 64,
+    verbose: bool = False,
+    skip_symmetrize: bool = False,
+) -> dict:
+    """Hybrid device-panel / disk-column sweep for corpora whose
+    descriptors fit neither HBM nor host RAM (Serra09-FULL / EarlySNF at
+    Da-TACOS scale: 15k x 448 x 20736 ssms ~ 557 GB on disk).
+
+    A PANEL of `panel_songs` songs' descriptors is pinned in HBM for its
+    whole row sweep; column tiles stream from the disk store
+    (`data.descstore.DescriptorStore` memmaps) and each uploaded column
+    tile is scored against EVERY row tile of the panel in one jitted
+    vmapped call — so each descriptor byte crosses the host->device link
+    once per panel instead of once per row tile (a panel_songs/tile x
+    traffic reduction over the plain streamed sweep). Zigzag column
+    order across panels keeps the tail of one panel's columns hot in the
+    host page cache for the next. This is the two-level-cache analog of
+    the reference's per-song disk caches (`Serra09.py:116-140`) with HBM
+    as level 1 and the memmap store as level 2.
+
+    HBM usage: one panel (panel_songs rows of descriptors) + one column
+    tile + tile working set. Host RAM: one column tile + flush buffers.
+    Resume/ledger/memmap-scores semantics are `run_pairwise`'s
+    (`_TileSweeper`).
+    """
+    tile = tile or algorithm.TILE
+    panel_songs = -(-panel_songs // tile) * tile
+    n_tiles = -(-n_songs // tile)
+    tiles_per_panel = panel_songs // tile
+    n_panels = -(-n_tiles // tiles_per_panel)
+
+    sweep = _TileSweeper(algorithm.SIMILARITY_TYPES, n_songs, tile,
+                         algorithm.SYMMETRIC, scores_dir,
+                         checkpoint_path, checkpoint_every,
+                         ckpt_extra={"hybrid_panel": panel_songs})
+    done = sweep.done
+
+    @jax.jit
+    def panel_vs_tile(panel_dev, col_dev):
+        tiled = {k: v.reshape((tiles_per_panel, tile) + v.shape[1:])
+                 for k, v in panel_dev.items()}
+        return jax.vmap(lambda r: algorithm.tile_scores(r, col_dev))(
+            tiled)
+
+    t0 = time.time()
+    for p in range(n_panels):
+        t_lo = p * tiles_per_panel
+        t_hi = min(t_lo + tiles_per_panel, n_tiles)
+        row_tiles = list(range(t_lo, t_hi))
+        max_col = t_hi if algorithm.SYMMETRIC else n_tiles
+        cols = list(range(max_col))
+        if p % 2 == 1:
+            cols = cols[::-1]
+        needed = [tj for tj in cols
+                  if any(not done[ti, tj] and
+                         (not algorithm.SYMMETRIC or tj <= ti)
+                         for ti in row_tiles)]
+        if not needed:
+            continue
+        with _prof.stages.stage("hybrid:panel_upload"):
+            panel_dev = jax.device_put(_tile_slice(
+                desc, t_lo * tile, t_hi * tile, tiles_per_panel * tile))
+        for tj in needed:
+            with _prof.stages.stage("hybrid:col_tile"), \
+                    _prof.step_annotation("hybrid", panel=p, tj=tj):
+                col_dev = jax.device_put(_tile_slice(
+                    desc, tj * tile, (tj + 1) * tile, tile))
+                stack = panel_vs_tile(panel_dev, col_dev)
+            for i, ti in enumerate(row_tiles):
+                if done[ti, tj]:
+                    continue
+                if algorithm.SYMMETRIC and tj > ti:
+                    continue
+                sweep.submit(ti, tj,
+                             {k: v[i] for k, v in stack.items()})
+        sweep.flush()
+        if verbose:
+            print(f"[{algorithm.NAME}] panel {p + 1}/{n_panels} "
+                  f"({time.time() - t0:.1f}s)")
+    return sweep.finalize(skip_symmetrize)
 
 
 def benchmark(

@@ -122,18 +122,24 @@ def _cmd_benchmark_inner(args) -> int:
         return 0
 
     if args.mesh:
-        # Mesh-sharded sweep: every device owns a block of the pair grid.
-        from acoss_tpu.parallel import make_pair_mesh, sharded_pair_scores
+        # Mesh-sharded sweep: every device owns blocks of the pair grid.
+        from acoss_tpu.parallel import (make_pair_mesh,
+                                        sharded_pair_scores,
+                                        sharded_pair_scores_triangular)
 
         r, c = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_pair_mesh(shape=(r, c))
         desc = algo.extract_descriptors(fs)
-        Ds = sharded_pair_scores(algo.tile_scores, desc, fs.n_songs, mesh,
-                                 col_tile=args.tile or algo.TILE)
         if algo.SYMMETRIC:
-            Ds = {k: np.tril(D, -1) + np.tril(D, -1).T
-                  for k, D in Ds.items()}
+            # triangular fold decomposition: half the FLOPs of the
+            # rectangular sweep (`CoverAlgorithm.py:228-244` analog)
+            Ds = sharded_pair_scores_triangular(
+                algo.tile_scores, desc, fs.n_songs,
+                devices=mesh.devices.flatten(),
+                col_tile=args.tile or algo.TILE)
         else:
+            Ds = sharded_pair_scores(algo.tile_scores, desc, fs.n_songs,
+                                     mesh, col_tile=args.tile or algo.TILE)
             for D in Ds.values():
                 np.fill_diagonal(D, 0.0)
         _eval_and_report(algo, Ds, desc, fs, csv)
@@ -154,6 +160,23 @@ def _cmd_benchmark_inner(args) -> int:
                   f"shot (full_scores) and does not support --stream-dir",
                   file=sys.stderr)
             return 1
+
+        if args.n_buckets > 1:
+            # buckets + streaming + memmapped scores + resume in ONE
+            # invocation: per-bucket disk stores, matrices stay in
+            # length-sorted order and labels are permuted for eval
+            # (retrieval stats are permutation-invariant)
+            from acoss_tpu.benchmarking.harness import \
+                run_pairwise_bucketed
+
+            Ds, desc, perm = run_pairwise_bucketed(
+                algo, fs, n_buckets=args.n_buckets, tile=args.tile,
+                verbose=True, checkpoint_path=ckpt,
+                stream_dir=args.stream_dir,
+                stream_chunk=args.stream_chunk,
+                return_desc=True, return_perm=True)
+            _eval_and_report(algo, Ds, desc, fs.subset(perm), csv)
+            return 0
 
         desc_path = os.path.join(args.stream_dir, "desc")
         if os.path.exists(os.path.join(desc_path, DescriptorStore.META)):

@@ -9,4 +9,5 @@ from acoss_tpu.parallel.distributed import (  # noqa: F401
 from acoss_tpu.parallel.mesh import (  # noqa: F401
     make_pair_mesh,
     sharded_pair_scores,
+    sharded_pair_scores_triangular,
 )

@@ -112,3 +112,75 @@ def test_da_tacos_scale_dry_run(tmp_path):
         expect = float(V[i] @ V[j])
         assert abs(float(D[i, j]) - expect) < 1e-4
     assert abs(float(D[123, 123])) < 1e-6
+
+def test_bucketed_streamed_composed(tmp_path):
+    """Buckets + per-bucket disk stores + memmapped scores + ledger in
+    ONE call (round-3 unified sweep), equal to the plain sweep; a second
+    invocation reuses the stores and the idempotent symmetrize flag."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.benchmarking.harness import run_pairwise_bucketed
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=5, clique_size=2, seed=9)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    # length-sort up front so the symmetric orientation conventions of
+    # the two sweeps coincide (same caveat as the plain bucketed test)
+    order = np.argsort(algo.bucket_lengths(fs), kind="stable")
+    fs = fs.subset(order)
+    desc = algo.extract_descriptors(fs)
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=4)
+
+    sd = str(tmp_path / "stream")
+    ck = str(tmp_path / "ledger.npz")
+    Ds, desc_m, perm = run_pairwise_bucketed(
+        algo, fs, n_buckets=3, tile=4, stream_dir=sd,
+        checkpoint_path=ck, return_desc=True, return_perm=True)
+    assert isinstance(Ds[next(iter(Ds))], np.memmap)
+    # matrices are in length-sorted order == caller order here
+    np.testing.assert_array_equal(perm, np.arange(fs.n_songs))
+    for k in D_ref:
+        np.testing.assert_allclose(np.asarray(Ds[k]), D_ref[k],
+                                   atol=2e-4)
+    # merged small keys serve post_process without re-extraction
+    np.testing.assert_array_equal(desc_m["length"], desc["length"])
+
+    # resume/reuse: bucket stores + done ledger + symmetrize flag make a
+    # second invocation a cheap no-op with identical results
+    Ds2 = run_pairwise_bucketed(algo, fs, n_buckets=3, tile=4,
+                                stream_dir=sd, checkpoint_path=ck)
+    for k in D_ref:
+        np.testing.assert_allclose(np.asarray(Ds2[k]), D_ref[k],
+                                   atol=2e-4)
+
+
+def test_hybrid_panel_sweep_matches_plain(tmp_path):
+    """The hybrid device-panel / disk-column sweep == plain run_pairwise
+    on a real algorithm, with memmapped scores + ledger resume."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2, seed=11)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    desc = algo.extract_descriptors(fs)
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=4)
+
+    store = extract_streamed(algo, fs, str(tmp_path / "store"),
+                             chunk_songs=5)
+    Ds = run_pairwise_hybrid(
+        algo, store, fs.n_songs, panel_songs=8, tile=4,
+        scores_dir=str(tmp_path / "scores"),
+        checkpoint_path=str(tmp_path / "ledger.npz"))
+    for k in D_ref:
+        np.testing.assert_allclose(np.asarray(Ds[k]), D_ref[k],
+                                   atol=2e-4)
+    # resume is a no-op with identical results
+    Ds2 = run_pairwise_hybrid(
+        algo, store, fs.n_songs, panel_songs=8, tile=4,
+        scores_dir=str(tmp_path / "scores"),
+        checkpoint_path=str(tmp_path / "ledger.npz"))
+    for k in D_ref:
+        np.testing.assert_allclose(np.asarray(Ds2[k]), D_ref[k],
+                                   atol=2e-4)

@@ -177,25 +177,27 @@ def test_bucketed_checkpoint_resume(dataset, tmp_path):
     D_full, desc_m = run_pairwise_bucketed(algo, dataset, n_buckets=3,
                                            return_desc=True)
 
-    # simulate an interrupted run: sweep only the first bucket block, save
-    # the ledger, then resume with a fresh call.
+    # simulate an interrupted run: sweep a handful of tiles, save the
+    # ledger, then resume with a fresh call.
     import acoss_tpu.benchmarking.harness as H
-    orig = H._sweep_block
+    orig = H._TileSweeper.submit
     calls = {"n": 0}
 
-    def limited(*a, **kw):
-        if calls["n"] >= 2:
+    def limited(self, ti, tj, scores):
+        if calls["n"] >= 5:
+            self.flush()
+            self.save_ckpt()
             raise KeyboardInterrupt
         calls["n"] += 1
-        return orig(*a, **kw)
+        return orig(self, ti, tj, scores)
 
-    H._sweep_block = limited
+    H._TileSweeper.submit = limited
     try:
         with pytest.raises(KeyboardInterrupt):
             run_pairwise_bucketed(algo, dataset, n_buckets=3,
                                   checkpoint_path=ckpt)
     finally:
-        H._sweep_block = orig
+        H._TileSweeper.submit = orig
     import os
     assert os.path.exists(ckpt)
     D_res = run_pairwise_bucketed(algo, dataset, n_buckets=3,

@@ -56,6 +56,34 @@ def test_sharded_with_pallas_kernels_in_graph():
         np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril], atol=1e-5)
 
 
+@pytest.mark.parametrize("n_devices", [8, 4])
+def test_triangular_sharded_matches_single_device(n_devices):
+    """The fold-balanced triangular mesh sweep (half the rectangular
+    FLOPs) must equal the single-device harness sweep exactly."""
+    from acoss_tpu.parallel import sharded_pair_scores_triangular
+
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2,
+                                n_distractors=2, seed=3)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=8)
+    D_tr = sharded_pair_scores_triangular(
+        algo.tile_scores, desc, fs.n_songs,
+        devices=jax.devices()[:n_devices], col_tile=4)
+    for k in D_ref:
+        np.testing.assert_allclose(D_tr[k], D_ref[k], atol=1e-5)
+
+
+def test_triangular_fold_balance():
+    """Every device owns exactly 2D+1 equal-size blocks (constant work)."""
+    D = 4
+    two_d = 2 * D
+    for d in range(D):
+        n_blocks = (d + 1) + (two_d - d)
+        assert n_blocks == two_d + 1
+
+
 def test_process_sharding_matches_full(tmp_path):
     """3 simulated processes x file merge == single-process sweep."""
     from acoss_tpu.benchmarking.algorithms import Serra09
