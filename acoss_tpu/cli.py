@@ -84,14 +84,19 @@ def _cmd_benchmark_inner(args) -> int:
 
         from acoss_tpu.parallel.distributed import merge_partials
 
-        paths = sorted(_glob.glob(os.path.join(
-            args.partial_dir, f"{algo.NAME}_part_*.npz")))
+        paths = sorted(
+            p for p in _glob.glob(os.path.join(
+                args.partial_dir, f"{algo.NAME}_part_*"))
+            if p.endswith(".npz") or os.path.isdir(p))
         if not paths:
             print(f"no partial files under {args.partial_dir}",
                   file=sys.stderr)
             return 1
-        print(f"merging {len(paths)} partial files")
-        Ds = merge_partials(paths, symmetric=algo.SYMMETRIC)
+        print(f"merging {len(paths)} partials")
+        out_dir = (os.path.join(args.stream_dir, "merged")
+                   if args.stream_dir else None)
+        Ds = merge_partials(paths, symmetric=algo.SYMMETRIC,
+                            out_dir=out_dir)
         # post_process only ever needs the descriptors (ChenFusion's
         # per-song lengths) — reuse a streamed store when one exists
         # instead of re-running the most expensive host stage in the
@@ -114,10 +119,26 @@ def _cmd_benchmark_inner(args) -> int:
         # a partial file; a later --merge run aggregates and evaluates.
         from acoss_tpu.parallel.distributed import run_process_shard
 
-        desc = algo.extract_descriptors(fs)
+        # with --stream-dir, descriptors come from the disk store and the
+        # partial is a directory of .npy memmaps (nothing dense in RAM)
+        if args.stream_dir:
+            from acoss_tpu.data.descstore import (DescriptorStore,
+                                                  extract_streamed)
+
+            desc_path = os.path.join(args.stream_dir, "desc")
+            if os.path.exists(os.path.join(desc_path,
+                                           DescriptorStore.META)):
+                desc = DescriptorStore.open(desc_path)
+            else:
+                desc = extract_streamed(algo, fs, desc_path,
+                                        chunk_songs=args.stream_chunk,
+                                        verbose=True)
+        else:
+            desc = algo.extract_descriptors(fs)
         path = run_process_shard(algo, desc, fs.n_songs, args.process_id,
                                  args.num_processes, args.partial_dir,
-                                 tile=args.tile, verbose=True)
+                                 tile=args.tile, verbose=True,
+                                 memmap_scores=bool(args.stream_dir))
         print(f"partial scores written to {path}")
         return 0
 

@@ -80,11 +80,16 @@ def make_synthetic_dataset(
     beat_period: float = 4.0,
     noise: float = 0.22,
     seed: int = 0,
+    cover_tempo_range: tuple = (0.8, 1.25),
 ) -> FeatureSet:
     """Build a planted-clique FeatureSet.
 
     Defaults give ~160-480-frame songs with ~40-120 beats. Distractors are
     singleton cliques (like the Da-TACOS benchmark's 2000 singletons).
+    `cover_tempo_range` sets the global tempo factor drawn for each cover
+    ((1.0, 1.0) produces tempo-aligned covers — used to isolate whether a
+    channel's low planted-corpus MAP comes from tempo warping or from the
+    channel itself).
     """
     rng = np.random.default_rng(seed)
     templates = _chord_templates(rng)
@@ -103,7 +108,8 @@ def make_synthetic_dataset(
         timbre = rng.normal(size=(n_states, 13)).astype(np.float32)
         for p in range(size):
             transposition = int(rng.integers(0, 12)) if p else 0
-            tempo_factor = float(rng.uniform(0.8, 1.25)) if p else 1.0
+            tempo_factor = float(rng.uniform(*cover_tempo_range)) \
+                if p else 1.0
             chroma, onsets, novfn, snovfn = _render_song(
                 rng, states, durations, templates, transposition,
                 tempo_factor, noise, beat_period, tempo_curve)

@@ -33,6 +33,14 @@ def sync_agg(X: np.ndarray, boundaries: np.ndarray,
         sums = np.add.reduceat(np.asarray(X, np.float64), b[:-1], axis=0)
         counts = np.diff(b)
         return sums / counts[:, None]
+    # Measured-and-rejected (round 3): a vectorized grouped median (one
+    # (segment, value) lexsort per dim, middles at closed-form sorted
+    # positions) was 2x SLOWER than this loop at the real sizes
+    # (~600 beat segments x 12-23 dims: 37 vs 18 ms/song), and a device
+    # segment-median kernel would add a host<->device round trip to a
+    # stage that profiles at ~30 ms/song total (~7% of StrucLaplacian's
+    # covers80 wall) — the "0.2 s/song host prep" of earlier rounds was
+    # retired by the batched device tempogram path, not by this loop.
     out = np.empty((len(b) - 1, X.shape[1]), dtype=np.float64)
     for k in range(len(b) - 1):
         out[k] = np.median(X[b[k]:b[k + 1]], axis=0)

@@ -71,20 +71,29 @@ def run_process_shard(
     out_dir: str,
     tile: int | None = None,
     verbose: bool = False,
+    memmap_scores: bool = False,
 ) -> str:
     """Sweep this process's block-rows and write the partial scores.
 
-    Returns the partial-file path (idempotent: rerunning overwrites)."""
+    Returns the partial path (idempotent: rerunning overwrites). With
+    `memmap_scores` the partial is a DIRECTORY of `.npy` memmaps (one
+    per similarity type) written in place by the sweep — no dense
+    partial ever sits in RAM, the Da-TACOS-scale mode."""
     tile = tile or algorithm.TILE
     n_tiles = -(-n_songs // tile)
     mine = set(assign_block_rows(n_tiles, num_processes,
                                  algorithm.SYMMETRIC)[process_id].tolist())
+    os.makedirs(out_dir, exist_ok=True)
+    stem = f"{algorithm.NAME}_part_{process_id}_{num_processes}"
+    scores_dir = os.path.join(out_dir, stem) if memmap_scores else None
     Ds = run_pairwise(algorithm, desc, n_songs, tile=tile, verbose=verbose,
                       tile_filter=lambda ti, tj: ti in mine,
-                      skip_symmetrize=True)
-    os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(
-        out_dir, f"{algorithm.NAME}_part_{process_id}_{num_processes}.npz")
+                      skip_symmetrize=True, scores_dir=scores_dir)
+    if memmap_scores:
+        for D in Ds.values():
+            D.flush()
+        return scores_dir
+    path = os.path.join(out_dir, stem + ".npz")
     np.savez(path, **{f"D::{k}": v for k, v in Ds.items()})
     return path
 
@@ -97,23 +106,34 @@ def merge_partials(paths: list[str], symmetric: bool = True,
     Accumulates IN PLACE (peak host memory = the full matrices + one
     partial's single type, not + a whole partial), optionally into `.npy`
     memmaps under `out_dir` so the merged matrices never have to fit in
-    RAM at Da-TACOS scale."""
+    RAM at Da-TACOS scale. Each partial may be a `.npz` file (keys
+    `D::<type>`) or a DIRECTORY of per-type `.npy` memmaps written by
+    `run_process_shard(memmap_scores=True)`."""
+
+    def _items(p):
+        if os.path.isdir(p):
+            for fn in sorted(os.listdir(p)):
+                if fn.endswith(".npy"):
+                    yield (os.path.splitext(fn)[0],
+                           np.load(os.path.join(p, fn), mmap_mode="r"))
+        else:
+            with np.load(p) as z:
+                for k in z.files:
+                    yield k[3:], z[k]
+
     Ds: dict = {}
     for p in paths:
-        with np.load(p) as z:
-            for k in z.files:
-                name = k[3:]
-                if name not in Ds:
-                    if out_dir is not None:
-                        os.makedirs(out_dir, exist_ok=True)
-                        Ds[name] = np.lib.format.open_memmap(
-                            os.path.join(out_dir, f"{name}.npy"),
-                            mode="w+", dtype=np.float32,
-                            shape=z[k].shape)
-                        Ds[name][:] = 0.0
-                    else:
-                        Ds[name] = np.zeros(z[k].shape, np.float32)
-                Ds[name] += z[k]
+        for name, arr in _items(p):
+            if name not in Ds:
+                if out_dir is not None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    Ds[name] = np.lib.format.open_memmap(
+                        os.path.join(out_dir, f"{name}.npy"),
+                        mode="w+", dtype=np.float32, shape=arr.shape)
+                    Ds[name][:] = 0.0
+                else:
+                    Ds[name] = np.zeros(arr.shape, np.float32)
+            Ds[name] += arr
     if symmetric:
         for k in Ds:
             # partials hold disjoint strict-lower tiles, so mirroring the

@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stage-times", action="store_true",
                     help="print the per-stage timing table per algorithm")
+    ap.add_argument("--n-buckets", type=int, default=1,
+                    help="length buckets for the sweep (unified bucketed "
+                         "path when > 1)")
+    ap.add_argument("--tempo-aligned", action="store_true",
+                    help="covers share the global tempo exactly "
+                         "(diagnostic corpus: isolates tempo-warp "
+                         "effects per channel)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,7 +71,9 @@ def main():
     t0 = time.time()
     fs = make_synthetic_dataset(
         n_cliques=args.songs // 2, clique_size=2, n_states=48,
-        base_duration=300.0, beat_period=30.0, seed=args.seed)
+        base_duration=300.0, beat_period=30.0, seed=args.seed,
+        cover_tempo_range=(1.0, 1.0) if args.tempo_aligned
+        else (0.8, 1.25))
     lens = fs.length("hpcp")
     print(f"corpus: {fs.n_songs} songs, frames {lens.min()}-{lens.max()}, "
           f"built in {time.time() - t0:.1f}s", flush=True)
@@ -75,7 +84,7 @@ def main():
         alg = algos[name]()
         stages.reset()
         t0 = time.time()
-        stats = benchmark(alg, fs)
+        stats = benchmark(alg, fs, n_buckets=args.n_buckets)
         wall = time.time() - t0
         out = {k: round(float(v.map), 4) for k, v in stats.items()}
         print(json.dumps({"algorithm": name, "wall_s": round(wall, 1),

@@ -37,10 +37,12 @@ import numpy as np
 
 
 def _make_store(path: str, n: int, L: int, ssm_dim: int,
-                chunk: int = 512, seed: int = 0) -> dict:
+                chunk: int | None = None, seed: int = 0) -> dict:
     """Synthetic EarlySNF-schema DescriptorStore written chunkwise."""
     from acoss_tpu.data.descstore import DescriptorStore
 
+    if chunk is None:   # keep one chunk's ssms under ~2 GB of RAM
+        chunk = max(1, min(512, int(2e9 / (L * ssm_dim * 4))))
     store = DescriptorStore(path, n)
     rng = np.random.default_rng(seed)
     for lo in range(0, n, chunk):

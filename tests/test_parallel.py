@@ -104,3 +104,27 @@ def test_process_sharding_matches_full(tmp_path):
     merged = merge_partials(paths, symmetric=True)
     for k in D_full:
         np.testing.assert_allclose(merged[k], D_full[k], atol=1e-6)
+
+
+def test_process_sharding_memmap_partials(tmp_path):
+    """Memmap-partial shards (directories of .npy) merge into memmapped
+    matrices equal to the single-process sweep — nothing dense in RAM."""
+    from acoss_tpu.parallel.distributed import (merge_partials,
+                                                run_process_shard)
+
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2, seed=4)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+    D_full = run_pairwise(algo, desc, fs.n_songs, tile=4)
+
+    paths = [run_process_shard(algo, desc, fs.n_songs, p, 2,
+                               str(tmp_path), tile=4,
+                               memmap_scores=True) for p in range(2)]
+    import os
+    assert all(os.path.isdir(p) for p in paths)
+    merged = merge_partials(paths, symmetric=True,
+                            out_dir=str(tmp_path / "merged"))
+    for k in D_full:
+        assert isinstance(merged[k], np.memmap)
+        np.testing.assert_allclose(np.asarray(merged[k]), D_full[k],
+                                   atol=1e-6)
