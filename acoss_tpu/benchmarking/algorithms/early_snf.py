@@ -66,11 +66,13 @@ class EarlySNF(Serra09):
         Ws = [fusion.get_WCSMSSM(ssma_c, ssmb_c, csm_c, K,
                                  m_len=l1e, n_len=l2e)]
         if self.do_ssms:
-            # centered distances: the 20736-dim scattering norms hit
-            # fp32 Gram cancellation otherwise (see crp.get_csm_centered)
-            csm_s = crp.get_csm_centered(r["ssms"], c["ssms"])
-            ssma_s = crp.get_ssm_centered(r["ssms"])
-            ssmb_s = crp.get_ssm_centered(c["ssms"])
+            # ssms arrive PRE-CENTERED by tile_scores (tile-shared
+            # origin — pair-independent operands; see
+            # Serra09._center_ssms), which removes the fp32 Gram
+            # cancellation of the 20736-dim scattering norms
+            csm_s = crp.get_csm(r["ssms"], c["ssms"])
+            ssma_s = crp.get_ssm(r["ssms"])
+            ssmb_s = crp.get_ssm(c["ssms"])
             Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
                                          m_len=l1e, n_len=l2e))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
@@ -91,6 +93,8 @@ class EarlySNF(Serra09):
         return tuple(crps), l1e, l2e
 
     def tile_scores(self, row: dict, col: dict) -> dict:
+        if self.do_ssms:
+            row, col = self._center_ssms(row, col)
         pair = jax.vmap(jax.vmap(self._pair_ws, in_axes=(None, 0)),
                         in_axes=(0, None))
         Bs, l1e, l2e = pair(row, col)

@@ -140,9 +140,11 @@ class Serra09(CoverAlgorithm):
         if self.do_ssms:
             # ssms rows are already length-matched to M = n - m + 1, so the
             # effective lengths are the same l1e/l2e; no sliding CSM
-            # (`Serra09.py:188-195`). Centered CSM: the 20736-dim
-            # scattering norms otherwise hit fp32 Gram cancellation.
-            csm = crp.get_csm_centered(r["ssms"], c["ssms"])
+            # (`Serra09.py:188-195`). The ssms arrays arrive PRE-CENTERED
+            # by tile_scores (tile-shared origin): per-pair centering
+            # under the nested vmap would materialize a
+            # (pairs, L, 20736) tensor — 38 GB at Da-TACOS dims.
+            csm = crp.get_csm(r["ssms"], c["ssms"])
             Bs = crp.csm_to_binary_mutual(csm, self.kappa, l1e, l2e)
             return (Bc, Bm, Bs), l1e, l2e
         return (Bc, Bm), l1e, l2e
@@ -200,7 +202,8 @@ class Serra09(CoverAlgorithm):
             # ssms descriptors (20736-dim) exceed VMEM for the fused
             # kernel; that channel stays on the XLA binarize path.
             def ssm_crp(r, c):
-                csm = crp.get_csm_centered(r["ssms"], c["ssms"])
+                # ssms pre-centered by tile_scores (tile-shared origin)
+                csm = crp.get_csm(r["ssms"], c["ssms"])
                 return crp.csm_to_binary_mutual(
                     csm, self.kappa,
                     r["length"] - self.m + 1, c["length"] - self.m + 1)
@@ -210,7 +213,24 @@ class Serra09(CoverAlgorithm):
             Bs = Bs + (Bss,)
         return Bs, l1e.reshape(bi, bj), l2e.reshape(bi, bj)
 
+    def _center_ssms(self, row: dict, col: dict):
+        """Subtract a TILE-SHARED origin (the first row song's first
+        block) from both sides' ssms. Pairwise distances are translation
+        invariant, so this is exact in infinite precision while removing
+        the fp32 x^2+y^2-2xy Gram cancellation of the large-norm
+        scattering vectors (see `crp.get_csm_centered`); a tile-shared
+        constant keeps the centered operands PAIR-INDEPENDENT, so XLA
+        materializes one copy per tile instead of one per pair."""
+        c0 = row["ssms"][0, 0]
+        row = dict(row)
+        col = dict(col)
+        row["ssms"] = row["ssms"] - c0[None, None, :]
+        col["ssms"] = col["ssms"] - c0[None, None, :]
+        return row, col
+
     def tile_scores(self, row: dict, col: dict) -> dict:
+        if self.do_ssms:
+            row, col = self._center_ssms(row, col)
         pallas, interp = alignment._use_pallas()
         if pallas:
             Bs, l1e, l2e = self._tile_crps_fused(row, col, interp)

@@ -306,15 +306,21 @@ def run_pairwise(
     if device_resident:
         desc_dev = jax.device_put(_pad_desc(desc, n_tiles * tile))
 
-        @jax.jit
-        def tile_at(dd, ti, tj):
-            row = {k: jax.lax.dynamic_slice_in_dim(v, ti * tile, tile)
-                   for k, v in dd.items()}
-            col = {k: jax.lax.dynamic_slice_in_dim(v, tj * tile, tile)
-                   for k, v in dd.items()}
-            return algorithm.tile_scores(row, col)
+        def _build_tile_at():
+            @jax.jit
+            def tile_at(dd, ti, tj):
+                row = {k: jax.lax.dynamic_slice_in_dim(v, ti * tile, tile)
+                       for k, v in dd.items()}
+                col = {k: jax.lax.dynamic_slice_in_dim(v, tj * tile, tile)
+                       for k, v in dd.items()}
+                return algorithm.tile_scores(row, col)
+            return tile_at
 
-    tile_fn = jax.jit(algorithm.tile_scores)
+        tile_at = _instance_jit(algorithm, f"tile_at:{tile}",
+                                _build_tile_at)
+
+    tile_fn = _instance_jit(algorithm, "tile_fn",
+                            lambda: jax.jit(algorithm.tile_scores))
 
     t0 = time.time()
     # Asynchronous dispatch pipelining (see _TileSweeper.submit/flush):
@@ -356,6 +362,18 @@ def run_pairwise(
     return sweep.finalize(skip_symmetrize)
 
 
+def _instance_jit(algorithm, key: str, build):
+    """Per-algorithm-instance cache of jitted sweep programs. A fresh
+    `jax.jit(...)` wrapper per sweep call would RE-TRACE every tile
+    program on every invocation (~1 s per program; the bucketed sweep
+    has O(n_buckets^2) of them), turning repeat runs tracing-bound."""
+    cache = algorithm.__dict__.setdefault("_jit_cache", {})
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = build()
+    return fn
+
+
 def _bucket_edges(n_songs: int, n_buckets: int, tile: int) -> np.ndarray:
     """Equal song splits with every INTERIOR boundary rounded to a tile
     multiple, so each (tile x tile) tile of the global grid lies entirely
@@ -386,6 +404,39 @@ def _pad_tile_pair_axis1(row: dict, col: dict):
                             + [(0, 0)] * (c.ndim - 2))
         out_r[k], out_c[k] = r, c
     return out_r, out_c
+
+
+def _split_desc_buckets(desc: dict, edges: np.ndarray,
+                        round_to: int = 64) -> list[dict]:
+    """Split ONE whole-corpus (length-sorted) descriptor extraction into
+    per-bucket dicts: rows sliced per bucket, axis 1 truncated to the
+    bucket's trailing-nonzero extent (rounded up to `round_to`). The
+    tile kernels are invariant to the amount of trailing zero padding
+    (the bucketed-vs-plain equality tests pin this), so this recovers
+    the per-bucket padding win WITHOUT re-running extraction once per
+    bucket — extraction's fixed costs were 4x the plain sweep's at
+    covers80 scale."""
+    out = []
+    for b in range(len(edges) - 1):
+        lo, hi = int(edges[b]), int(edges[b + 1])
+        d = {}
+        for k, v in desc.items():
+            s = v[lo:hi]
+            if hasattr(s, "ndim") and s.ndim >= 2 and s.shape[1] > 1:
+                axes = (0,) + tuple(range(2, s.ndim))
+                if isinstance(s, jax.Array):
+                    # reduce on device; only the (L,) mask crosses the link
+                    import jax.numpy as jnp
+                    colmask = np.asarray(jnp.any(s != 0, axis=axes))
+                else:
+                    colmask = np.asarray(s != 0).any(axis=axes)
+                nz = np.flatnonzero(colmask)
+                width = int(nz[-1]) + 1 if nz.size else 1
+                width = min(-(-width // round_to) * round_to, s.shape[1])
+                s = s[:, :width]
+            d[k] = s
+        out.append(d)
+    return out
 
 
 def _merge_bucket_descs(descs: list[dict], inv: np.ndarray,
@@ -467,12 +518,12 @@ def run_pairwise_bucketed(
         scores_dir = os.path.join(stream_dir, "scores")
 
     descs: list[dict] = []
-    for b in range(nb):
-        lo, hi = int(edges[b]), int(edges[b + 1])
-        if stream_dir is not None:
-            from acoss_tpu.data.descstore import (DescriptorStore,
-                                                  extract_streamed)
+    if stream_dir is not None:
+        from acoss_tpu.data.descstore import (DescriptorStore,
+                                              extract_streamed)
 
+        for b in range(nb):
+            lo, hi = int(edges[b]), int(edges[b + 1])
             path = os.path.join(stream_dir, "desc", f"bucket_{b:04d}")
             if os.path.exists(os.path.join(path, DescriptorStore.META)):
                 if verbose:
@@ -484,10 +535,14 @@ def run_pairwise_bucketed(
                     descs.append(extract_streamed(
                         algorithm, fss.subset(np.arange(lo, hi)), path,
                         chunk_songs=stream_chunk, verbose=verbose))
-        else:
-            with _prof.stages.stage("extract:bucket"):
-                descs.append(algorithm.extract_descriptors(
-                    fss.subset(np.arange(lo, hi))))
+    else:
+        # ONE whole-corpus extraction on the sorted fs, then split into
+        # buckets by row slice + trailing-zero axis-1 truncation —
+        # identical arrays to per-bucket extraction (extraction is
+        # per-song) without paying extraction's fixed costs per bucket
+        with _prof.stages.stage("extract"):
+            desc_all = algorithm.extract_descriptors(fss)
+        descs = _split_desc_buckets(desc_all, edges)
 
     if device_resident is None:
         device_resident = stream_dir is None and not any(
@@ -504,17 +559,25 @@ def run_pairwise_bucketed(
             dict(d), -(-(int(edges[b + 1] - edges[b])) // tile) * tile))
             for b, d in enumerate(descs)]
 
-        @jax.jit   # re-traces once per bucket-pair shape combination
-        def tile_at(dd_i, dd_j, ti_loc, tj_loc):
-            row = {k: jax.lax.dynamic_slice_in_dim(v, ti_loc * tile, tile)
-                   for k, v in dd_i.items()}
-            col = {k: jax.lax.dynamic_slice_in_dim(v, tj_loc * tile, tile)
-                   for k, v in dd_j.items()}
-            row, col = _pad_tile_pair_axis1(row, col)
-            return algorithm.tile_scores(row, col)
+        def _build_tile_at():
+            @jax.jit   # traces once per bucket-pair shape combination
+            def tile_at(dd_i, dd_j, ti_loc, tj_loc):
+                row = {k: jax.lax.dynamic_slice_in_dim(
+                    v, ti_loc * tile, tile) for k, v in dd_i.items()}
+                col = {k: jax.lax.dynamic_slice_in_dim(
+                    v, tj_loc * tile, tile) for k, v in dd_j.items()}
+                row, col = _pad_tile_pair_axis1(row, col)
+                return algorithm.tile_scores(row, col)
+            return tile_at
 
-    tile_fn = jax.jit(
-        lambda r, c: algorithm.tile_scores(*_pad_tile_pair_axis1(r, c)))
+        tile_at = _instance_jit(algorithm, f"bucket_tile_at:{tile}",
+                                _build_tile_at)
+
+    tile_fn = _instance_jit(
+        algorithm, "bucket_tile_fn",
+        lambda: jax.jit(
+            lambda r, c: algorithm.tile_scores(*_pad_tile_pair_axis1(
+                r, c))))
 
     sweep = _TileSweeper(algorithm.SIMILARITY_TYPES, n, tile,
                          algorithm.SYMMETRIC, scores_dir,
@@ -619,12 +682,26 @@ def run_pairwise_hybrid(
                          ckpt_extra={"hybrid_panel": panel_songs})
     done = sweep.done
 
-    @jax.jit
-    def panel_vs_tile(panel_dev, col_dev):
-        tiled = {k: v.reshape((tiles_per_panel, tile) + v.shape[1:])
-                 for k, v in panel_dev.items()}
-        return jax.vmap(lambda r: algorithm.tile_scores(r, col_dev))(
-            tiled)
+    def _build_panel_vs_tile():
+        @jax.jit
+        def panel_vs_tile(panel_dev, col_dev):
+            tiled = {k: v.reshape((tiles_per_panel, tile) + v.shape[1:])
+                     for k, v in panel_dev.items()}
+
+            # lax.scan (not vmap) over the panel's row tiles: tile
+            # kernels may materialize per-tile working copies of the
+            # column tile (e.g. the tile-centered ssms), and a vmap
+            # would hold tiles_per_panel of them in HBM at once
+            def body(_, r):
+                return None, algorithm.tile_scores(r, col_dev)
+
+            _, out = jax.lax.scan(body, None, tiled)
+            return out
+        return panel_vs_tile
+
+    panel_vs_tile = _instance_jit(
+        algorithm, f"panel_vs_tile:{tile}:{tiles_per_panel}",
+        _build_panel_vs_tile)
 
     t0 = time.time()
     for p in range(n_panels):
