@@ -22,6 +22,16 @@ dmax 124k -> ~225k pairs/s, qmax 277k -> ~312k):
   and no pre-zeroing pass over S.
 - 8-row unroll inside `fori_loop` (deeper unrolls and int32 DP measured
   slower; lax.cond row-guard hoisting measured slower).
+
+Round-3 dmax roll-reduction experiments, measured and REJECTED (the
+dmax/qmax gap is the 5-path recurrence's inherent VPU work, not rolls):
+- bit-packing S and roll(S,1) into one uint8 stream (bit0/bit1, same
+  VMEM/HBM as base, 4->3 rolls/row): 204k -> 172k pairs/s — the XLA
+  packing pass costs more than the saved roll;
+- streaming roll(S,1) as a second input: VMEM-infeasible at BB=128
+  (2 double-buffered uint8 blocks + scratch > 16 MB scoped limit) and
+  99k pairs/s at BB=64 (starved lanes);
+- block_t=128: over the 16 MB scoped-VMEM limit for every variant.
 - Per row, qmax's branch `S ? pre+1 : max(pre-gap, 0)` stays fused as
   `max(pre + (1+gap)*S - gap, 0)` — exact because pre >= 0.
 - NO length masks in the kernel: S is zero outside (m_len, n_len) (the
