@@ -703,6 +703,19 @@ def run_pairwise_hybrid(
         algorithm, f"panel_vs_tile:{tile}:{tiles_per_panel}",
         _build_panel_vs_tile)
 
+    # One-slot column prefetcher: the disk read + host->device copy of a
+    # column tile BLOCK the issuing thread for the whole transfer (the
+    # link is the bottleneck at these sizes — 296 MB/tile at Da-TACOS
+    # dims), so tile j+1's load runs on a worker thread while the main
+    # thread dispatches tile j's compute. Both released the GIL in
+    # measurement; HBM cost is one extra in-flight column tile.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_col(tj):
+        return jax.device_put(_tile_slice(
+            desc, tj * tile, (tj + 1) * tile, tile))
+
+    prefetch = ThreadPoolExecutor(1)
     t0 = time.time()
     for p in range(n_panels):
         t_lo = p * tiles_per_panel
@@ -721,11 +734,13 @@ def run_pairwise_hybrid(
         with _prof.stages.stage("hybrid:panel_upload"):
             panel_dev = jax.device_put(_tile_slice(
                 desc, t_lo * tile, t_hi * tile, tiles_per_panel * tile))
-        for tj in needed:
+        fut = prefetch.submit(_load_col, needed[0])
+        for ci, tj in enumerate(needed):
             with _prof.stages.stage("hybrid:col_tile"), \
                     _prof.step_annotation("hybrid", panel=p, tj=tj):
-                col_dev = jax.device_put(_tile_slice(
-                    desc, tj * tile, (tj + 1) * tile, tile))
+                col_dev = fut.result()
+                if ci + 1 < len(needed):
+                    fut = prefetch.submit(_load_col, needed[ci + 1])
                 stack = panel_vs_tile(panel_dev, col_dev)
             for i, ti in enumerate(row_tiles):
                 if done[ti, tj]:
@@ -738,6 +753,7 @@ def run_pairwise_hybrid(
         if verbose:
             print(f"[{algorithm.NAME}] panel {p + 1}/{n_panels} "
                   f"({time.time() - t0:.1f}s)")
+    prefetch.shutdown(wait=True)
     return sweep.finalize(skip_symmetrize)
 
 
