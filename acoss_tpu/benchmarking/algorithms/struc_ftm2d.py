@@ -9,21 +9,24 @@ Parity targets:
 - StrucShingles (`StrucShingles.py:32-170`): identical but WITHOUT the 2D
   FFT (raw padded W shingle).
 
-The sparse Gram runs host-side in scipy.sparse (descriptors are 4M-dim
-with only 5 * PAD_LEN nonzeros); everything upstream (tempogram, SSMs, SNF,
-FFT) runs on device.
+The sparse Gram runs on device as a dense matmul over the shingles'
+column union (`ops/sparse_gram.py` — measured shingle supports
+concentrate, so the union is small and the reference's host SpGEMM
+scaling `StrucFTM2D.py:173-189` is quadratic-with-a-scipy-constant at
+Da-TACOS scale; the scipy path remains as the unconcentrated fallback).
+Everything upstream (tempogram, SSMs, SNF, FFT) also runs on device.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-from scipy import sparse
 
 from acoss_tpu.benchmarking.algorithms.struct_common import (
     sparse_top_shingle, structural_fused_w, structural_fused_w_all)
 from acoss_tpu.benchmarking.harness import CoverAlgorithm
 from acoss_tpu.data.store import FeatureSet
+from acoss_tpu.ops.sparse_gram import host_gram_scores, sparse_gram_scores
 from acoss_tpu.ops.structure import shingle_topk_batch
 
 
@@ -93,16 +96,22 @@ class StrucFTM2D(CoverAlgorithm):
                 "val": [s[1] for s in shingles],
                 "dim": self.PAD_LEN * self.PAD_LEN}
 
+    # scipy fallback threshold: beyond this union the supports are not
+    # concentrated and the dense-over-union matmul loses its economics
+    UNION_MAX = 1 << 19
+
     def full_scores(self, desc: dict) -> dict:
-        n = len(desc["idx"])
-        indptr = np.cumsum([0] + [len(ix) for ix in desc["idx"]])
-        X = sparse.csr_matrix(
-            (np.concatenate(desc["val"]), np.concatenate(desc["idx"]),
-             indptr), shape=(n, desc["dim"]))
-        sq = np.asarray(X.power(2).sum(axis=1)).ravel()
-        G = np.asarray((X @ X.T).todense())
-        d2 = sq[:, None] + sq[None, :] - 2.0 * G
-        return {"main": np.exp(-np.maximum(d2, 0.0)).astype(np.float32)}
+        """exp(-d^2) over all pairs (`StrucFTM2D.py:173-189`) — device
+        dense-over-union Gram, scipy SpGEMM fallback past UNION_MAX."""
+        return {"main": sparse_gram_scores(
+            desc["idx"], desc["val"], desc["dim"],
+            union_max=self.UNION_MAX)}
+
+    def full_scores_host(self, desc: dict) -> dict:
+        """The reference-shaped host path, kept callable for parity
+        tests and as the explicit fallback."""
+        return {"main": host_gram_scores(
+            desc["idx"], desc["val"], desc["dim"])}
 
 
 class StrucShingles(StrucFTM2D):
