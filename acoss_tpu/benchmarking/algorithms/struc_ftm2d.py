@@ -98,7 +98,9 @@ class StrucFTM2D(CoverAlgorithm):
 
     # scipy fallback threshold: beyond this union the supports are not
     # concentrated and the dense-over-union matmul loses its economics
-    UNION_MAX = 1 << 19
+    # (measured: StrucShingles at 15k grows to ~1.4M union and the
+    # device path still wins ~10x — scripts/sparse_gram_scale.py)
+    UNION_MAX = 1 << 21
 
     def full_scores(self, desc: dict) -> dict:
         """exp(-d^2) over all pairs (`StrucFTM2D.py:173-189`) — device

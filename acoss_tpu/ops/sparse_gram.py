@@ -94,7 +94,7 @@ def _score_tile(Xa, Xb, sqa, sqb):
 
 
 def sparse_gram_scores(idx_list, val_list, dim: int,
-                       union_max: int = 1 << 19,
+                       union_max: int = 1 << 21,
                        hbm_budget_bytes: int = 6 << 30,
                        max_row_block: int = 2048,
                        force_device: bool = False) -> np.ndarray:

@@ -22,9 +22,15 @@ This script settles it by measurement:
     measured distribution, time scipy X @ X.T (+ densify + exp) at
     increasing n, and extrapolate to 15k via the sum_c n_c^2 model.
 
+  phase "device": synthesize n rows the same way and time the device
+    dense-over-union Gram (`ops/sparse_gram.sparse_gram_scores`) on the
+    real TPU, including the H2D of the compact form and the D2H of the
+    score tiles.
+
 Usage:
     python scripts/sparse_gram_scale.py concentration [--songs N]
     python scripts/sparse_gram_scale.py spgemm [--sizes 1000,2000,4000]
+    python scripts/sparse_gram_scale.py device [--sizes 4000,15000]
 """
 
 from __future__ import annotations
@@ -40,7 +46,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# phases "concentration" and "spgemm" are host-side and force the CPU
+# backend (via jax.config — the axon plugin ignores the env var); phase
+# "device" runs on whatever jax.devices() provides (the real TPU here).
 os.environ.setdefault("ACOSS_TPU_NO_COMPILE_CACHE", "1")
 
 DIST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -48,6 +56,7 @@ DIST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def cmd_concentration(args):
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
     from acoss_tpu.benchmarking.algorithms.struc_ftm2d import (
@@ -92,16 +101,22 @@ def cmd_concentration(args):
     return out
 
 
-def synth_rows(n, rng, cols, probs, nnz_row):
+def synth_rows(n, rng, cols, probs, nnz_row, fresh_per_row=0, dim=0):
     """Draw per-row sorted unique index sets from the measured column
     distribution (with-replacement draw + unique + top-up keeps the
-    heavy atoms' hit rates right)."""
+    heavy atoms' hit rates right), plus `fresh_per_row` columns drawn
+    uniformly from the full dim — the measured singleton rate — so the
+    union KEEPS GROWING with corpus size like a real corpus's does."""
     rows = []
+    k_dist = max(1, nnz_row - fresh_per_row)
     for _ in range(n):
-        draw = rng.choice(cols, size=int(nnz_row * 1.3), p=probs)
+        draw = rng.choice(cols, size=int(k_dist * 1.3), p=probs)
         u = np.unique(draw)
-        if u.size >= nnz_row:
-            u = u[rng.permutation(u.size)[:nnz_row]]
+        if u.size >= k_dist:
+            u = u[rng.permutation(u.size)[:k_dist]]
+        if fresh_per_row:
+            u = np.union1d(u, rng.integers(0, dim, fresh_per_row))
+        else:
             u.sort()
         rows.append(u.astype(np.int64))
     return rows
@@ -155,16 +170,52 @@ def cmd_spgemm(args):
                   f"(model cost {cost15:.3g})", flush=True)
 
 
+def cmd_device(args):
+    from acoss_tpu.ops.sparse_gram import sparse_gram_scores
+    sizes = [int(s) for s in args.sizes.split(",")]
+    for name in ("StrucFTM2D", "StrucShingles"):
+        path = DIST_PATH.replace(".npz", f"_{name}.npz")
+        if not os.path.exists(path):
+            print(f"{name}: run `concentration` first ({path} missing)")
+            continue
+        d = np.load(path)
+        cols, counts = d["cols"], d["counts"].astype(np.float64)
+        nnz_row = int(np.median(d["nnz_per_song"]))
+        probs = counts / counts.sum()
+        # measured singleton rate -> per-row fresh columns, so the union
+        # grows with n like a real corpus's
+        fresh = int(round(int((d["counts"] == 1).sum())
+                          / int(d["n_songs"])))
+        rng = np.random.default_rng(0)
+        for n in sizes:
+            t0 = time.time()
+            rows = synth_rows(n, rng, cols, probs, nnz_row,
+                              fresh_per_row=fresh, dim=int(d["dim"]))
+            vals = [rng.random(r.size, dtype=np.float32) + 0.1
+                    for r in rows]
+            t_synth = time.time() - t0
+            union = np.unique(np.concatenate(rows)).size
+            t0 = time.time()
+            S = sparse_gram_scores(rows, vals, int(d["dim"]))
+            dt = time.time() - t0
+            print(f"{name} n={n}: device gram {dt:.1f}s "
+                  f"(synth {t_synth:.1f}s, union {union}) "
+                  f"S[0,0]={S[0, 0]:.4f} mean={S.mean():.3g}", flush=True)
+            del S, rows, vals
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["concentration", "spgemm"])
+    ap.add_argument("phase", choices=["concentration", "spgemm", "device"])
     ap.add_argument("--songs", type=int, default=16)
     ap.add_argument("--sizes", default="1000,2000,4000")
     args = ap.parse_args()
     if args.phase == "concentration":
         cmd_concentration(args)
-    else:
+    elif args.phase == "spgemm":
         cmd_spgemm(args)
+    else:
+        cmd_device(args)
 
 
 if __name__ == "__main__":
