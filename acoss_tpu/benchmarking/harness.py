@@ -648,6 +648,7 @@ def run_pairwise_hybrid(
     checkpoint_every: int = 64,
     verbose: bool = False,
     skip_symmetrize: bool = False,
+    panel_filter=None,
 ) -> dict:
     """Hybrid device-panel / disk-column sweep for corpora whose
     descriptors fit neither HBM nor host RAM (Serra09-FULL / EarlySNF at
@@ -669,6 +670,11 @@ def run_pairwise_hybrid(
     tile + tile working set. Host RAM: one column tile + flush buffers.
     Resume/ledger/memmap-scores semantics are `run_pairwise`'s
     (`_TileSweeper`).
+
+    `panel_filter(p) -> bool` restricts the sweep to a subset of panels —
+    the multi-process decomposition unit (each process streams from the
+    SHARED disk store and uploads only its own panels; see
+    `parallel.distributed.run_process_shard_hybrid`).
     """
     tile = tile or algorithm.TILE
     panel_songs = -(-panel_songs // tile) * tile
@@ -718,6 +724,8 @@ def run_pairwise_hybrid(
     prefetch = ThreadPoolExecutor(1)
     t0 = time.time()
     for p in range(n_panels):
+        if panel_filter is not None and not panel_filter(p):
+            continue
         t_lo = p * tiles_per_panel
         t_hi = min(t_lo + tiles_per_panel, n_tiles)
         row_tiles = list(range(t_lo, t_hi))

@@ -7,9 +7,11 @@ Mirrors the reference's CLI surface with its flag names:
   `__main__` analog (e.g. `Serra09.py:198-244`): `--mesh` shards the pair
   grid over a device mesh, `--num-processes/--process-id` runs one
   process shard writing a partial file (the reference's `-r` array-job
-  mode), `--merge` aggregates partials (the reference's `-b`). `-d`
-  accepts either a FeatureSet .npz or a directory of reference-format
-  per-track h5 files.
+  mode), `--merge` aggregates partials (the reference's `-b`),
+  `--hybrid-panel P` (with `--stream-dir`) runs the device-panel /
+  disk-column sweep for descriptors that exceed HBM, sharding whole
+  panels across processes. `-d` accepts either a FeatureSet .npz or a
+  directory of reference-format per-track h5 files.
 - `python -m acoss_tpu.cli extract -i <audio dir or collection txt> -o
    <features.npz> [-m cpu] [-n N]` — the `extractors.py:117-154` analog.
 """
@@ -135,10 +137,21 @@ def _cmd_benchmark_inner(args) -> int:
                                         verbose=True)
         else:
             desc = algo.extract_descriptors(fs)
-        path = run_process_shard(algo, desc, fs.n_songs, args.process_id,
-                                 args.num_processes, args.partial_dir,
-                                 tile=args.tile, verbose=True,
-                                 memmap_scores=bool(args.stream_dir))
+        if args.hybrid_panel:
+            from acoss_tpu.parallel.distributed import \
+                run_process_shard_hybrid
+
+            path = run_process_shard_hybrid(
+                algo, desc, fs.n_songs, args.process_id,
+                args.num_processes, args.partial_dir,
+                panel_songs=args.hybrid_panel, tile=args.tile,
+                verbose=True)
+        else:
+            path = run_process_shard(
+                algo, desc, fs.n_songs, args.process_id,
+                args.num_processes, args.partial_dir,
+                tile=args.tile, verbose=True,
+                memmap_scores=bool(args.stream_dir))
         print(f"partial scores written to {path}")
         return 0
 
@@ -207,10 +220,19 @@ def _cmd_benchmark_inner(args) -> int:
             desc = extract_streamed(algo, fs, desc_path,
                                     chunk_songs=args.stream_chunk,
                                     verbose=True)
-        Ds = run_pairwise(
-            algo, desc, fs.n_songs, tile=args.tile,
-            checkpoint_path=ckpt, verbose=True,
-            scores_dir=os.path.join(args.stream_dir, "scores"))
+        if args.hybrid_panel:
+            from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
+
+            Ds = run_pairwise_hybrid(
+                algo, desc, fs.n_songs,
+                panel_songs=args.hybrid_panel, tile=args.tile,
+                checkpoint_path=ckpt, verbose=True,
+                scores_dir=os.path.join(args.stream_dir, "scores"))
+        else:
+            Ds = run_pairwise(
+                algo, desc, fs.n_songs, tile=args.tile,
+                checkpoint_path=ckpt, verbose=True,
+                scores_dir=os.path.join(args.stream_dir, "scores"))
         _eval_and_report(algo, Ds, desc, fs, csv)
         return 0
 
@@ -289,6 +311,12 @@ def main(argv=None) -> int:
                         "the tile size)")
     b.add_argument("--stream-chunk", type=int, default=256,
                    help="songs per extraction chunk with --stream-dir")
+    b.add_argument("--hybrid-panel", type=int, default=0, metavar="P",
+                   help="with --stream-dir: hybrid device-panel / "
+                        "disk-column sweep pinning P songs' descriptors "
+                        "in HBM per panel (the heaviest-channel mode "
+                        "when descriptors exceed HBM; composes with "
+                        "--num-processes, which shards whole panels)")
     b.add_argument("--merge", action="store_true",
                    help="aggregate partial files from --partial-dir and "
                         "evaluate (the reference's -b/load_batches)")

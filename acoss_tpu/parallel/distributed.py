@@ -27,7 +27,8 @@ import numpy as np
 
 from acoss_tpu.benchmarking.harness import (CoverAlgorithm,
                                             _symmetrize_from_lower,
-                                            run_pairwise)
+                                            run_pairwise,
+                                            run_pairwise_hybrid)
 
 
 def initialize(coordinator_address: str | None = None,
@@ -96,6 +97,49 @@ def run_process_shard(
     path = os.path.join(out_dir, stem + ".npz")
     np.savez(path, **{f"D::{k}": v for k, v in Ds.items()})
     return path
+
+
+def run_process_shard_hybrid(
+    algorithm: CoverAlgorithm,
+    desc: dict,
+    n_songs: int,
+    process_id: int,
+    num_processes: int,
+    out_dir: str,
+    panel_songs: int = 128,
+    tile: int | None = None,
+    verbose: bool = False,
+) -> str:
+    """One process's share of the hybrid device-panel / disk-column sweep
+    (the Da-TACOS heaviest-channel mode: descriptors too big for HBM AND
+    host RAM).
+
+    The decomposition unit is the PANEL (a block of rows pinned in HBM
+    for its whole sweep): panels are assigned to processes with the same
+    balanced greedy schedule as tile rows (symmetric panel p costs ~p+1
+    column tiles), each process streams column tiles from the SHARED
+    disk store (`desc` should be a `DescriptorStore`) and writes its
+    partial scores as a directory of per-type `.npy` memmaps — nothing
+    dense in RAM. Merge with `merge_partials`, exactly like
+    `run_process_shard(memmap_scores=True)` partials."""
+    tile = tile or algorithm.TILE
+    panel_r = -(-panel_songs // tile) * tile
+    tiles_per_panel = panel_r // tile
+    n_tiles = -(-n_songs // tile)
+    n_panels = -(-n_tiles // tiles_per_panel)
+    mine = set(assign_block_rows(
+        n_panels, num_processes,
+        algorithm.SYMMETRIC)[process_id].tolist())
+    os.makedirs(out_dir, exist_ok=True)
+    scores_dir = os.path.join(
+        out_dir, f"{algorithm.NAME}_part_{process_id}_{num_processes}")
+    Ds = run_pairwise_hybrid(
+        algorithm, desc, n_songs, panel_songs=panel_songs, tile=tile,
+        scores_dir=scores_dir, verbose=verbose, skip_symmetrize=True,
+        panel_filter=lambda p: p in mine)
+    for D in Ds.values():
+        D.flush()
+    return scores_dir
 
 
 def merge_partials(paths: list[str], symmetric: bool = True,

@@ -184,3 +184,32 @@ def test_hybrid_panel_sweep_matches_plain(tmp_path):
     for k in D_ref:
         np.testing.assert_allclose(np.asarray(Ds2[k]), D_ref[k],
                                    atol=2e-4)
+
+
+def test_hybrid_process_shards_merge_to_plain(tmp_path):
+    """Multi-process hybrid sweep: panels sharded across processes from
+    one shared disk store, memmap partials merged == plain run_pairwise
+    (the Da-TACOS heaviest-channel multi-chip mode)."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.parallel.distributed import (merge_partials,
+                                                run_process_shard_hybrid)
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=6, clique_size=2, seed=12)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    desc = algo.extract_descriptors(fs)
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=4)
+
+    store = extract_streamed(algo, fs, str(tmp_path / "store"),
+                             chunk_songs=5)
+    paths = [
+        run_process_shard_hybrid(
+            algo, store, fs.n_songs, pid, 2, str(tmp_path / "partials"),
+            panel_songs=8, tile=4)
+        for pid in (0, 1)]
+    assert paths[0] != paths[1]
+    Ds = merge_partials(paths, symmetric=algo.SYMMETRIC)
+    for k in D_ref:
+        np.testing.assert_allclose(np.asarray(Ds[k]), D_ref[k],
+                                   atol=2e-4)
