@@ -96,18 +96,22 @@ class StrucFTM2D(CoverAlgorithm):
                 "val": [s[1] for s in shingles],
                 "dim": self.PAD_LEN * self.PAD_LEN}
 
-    # scipy fallback threshold: beyond this union the supports are not
+    # scipy fallback thresholds: beyond UNION_MAX the supports are not
     # concentrated and the dense-over-union matmul loses its economics
     # (measured: StrucShingles at 15k grows to ~1.4M union and the
-    # device path still wins ~10x — scripts/sparse_gram_scale.py)
+    # device path still wins ~10x — scripts/sparse_gram_scale.py);
+    # below HOST_MAX_N songs the host SpGEMM is sub-second and beats a
+    # possible remote compile
     UNION_MAX = 1 << 21
+    HOST_MAX_N = 512
 
     def full_scores(self, desc: dict) -> dict:
         """exp(-d^2) over all pairs (`StrucFTM2D.py:173-189`) — device
-        dense-over-union Gram, scipy SpGEMM fallback past UNION_MAX."""
+        dense-over-union Gram, scipy SpGEMM fallback past UNION_MAX or
+        under HOST_MAX_N songs."""
         return {"main": sparse_gram_scores(
             desc["idx"], desc["val"], desc["dim"],
-            union_max=self.UNION_MAX)}
+            union_max=self.UNION_MAX, host_max_n=self.HOST_MAX_N)}
 
     def full_scores_host(self, desc: dict) -> dict:
         """The reference-shaped host path, kept callable for parity

@@ -352,6 +352,71 @@ def ref_tempogram_pair(Si: dict, Sj: dict, kappa: float,
     return out
 
 
+def ref_struc_shingle_scores(Ws, pad_len: int, do_fft: bool) -> np.ndarray:
+    """The reference's Struc* shingle scoring, re-typed in fp64
+    numpy/scipy exactly as written: per-song shingle construction
+    (`StrucFTM2D.py:132-142` — zero-pad W to PAD_LEN^2, |fft2|, log-norm,
+    zero everything below the 5*PAD_LEN cutoff; `StrucShingles.py`
+    identical without the FFT) + the one-shot sparse Gram of
+    `all_pairwise` (`StrucFTM2D.py:173-189`: exp(-DsSqr), no clamp).
+    Input: SHARED fused-W matrices (one per song)."""
+    import scipy.fftpack
+    from scipy import sparse as sp
+
+    rows = []
+    for W in Ws:
+        N = min(pad_len, W.shape[0])
+        Wres = np.zeros((pad_len, pad_len))
+        Wres[:N, :N] = np.asarray(W, np.float64)[:N, :N]
+        mat = np.abs(scipy.fftpack.fft2(Wres)) if do_fft else Wres
+        flat = mat.flatten()
+        shingle = np.log(flat / (np.sqrt(np.sum(flat ** 2))) + 1)
+        cutoff = -np.partition(-shingle, pad_len * 5)[pad_len * 5 - 1]
+        shingle[shingle < cutoff] = 0
+        rows.append(sp.csr_matrix(shingle))
+    X = sp.vstack(rows).tocsr()
+    XSqr = np.array(X.power(2).sum(1)).flatten()
+    DsSqr = XSqr[:, None] + XSqr[None, :] - 2 * X.dot(X.T).toarray()
+    return np.exp(-DsSqr)
+
+
+def acoss_struc_shingle_scores(Ws, pad_len: int,
+                               do_fft: bool) -> np.ndarray:
+    """The acoss_tpu path from the SAME shared fused-W inputs: device
+    shingle top-k (`ops.structure.shingle_topk_batch`) + the
+    dense-over-union device Gram (`ops.sparse_gram.sparse_gram_scores`)
+    — exactly what `StrucFTM2D.extract_descriptors` + `full_scores` run
+    downstream of the fused W."""
+    import jax.numpy as jnp
+
+    from acoss_tpu.ops.sparse_gram import sparse_gram_scores
+    from acoss_tpu.ops.structure import shingle_topk_batch
+
+    B = len(Ws)
+    npad = max(W.shape[0] for W in Ws)
+    Wb = np.zeros((B, npad, npad), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for b, W in enumerate(Ws):
+        n = W.shape[0]
+        Wb[b, :n, :n] = W
+        lengths[b] = n
+    idx, val = shingle_topk_batch(jnp.asarray(Wb), jnp.asarray(lengths),
+                                  pad_len, 5 * pad_len, do_fft)
+    idx = np.asarray(idx, np.int64)
+    val = np.asarray(val, np.float32)
+    idx_list, val_list = [], []
+    for b in range(B):
+        keep = idx[b] >= 0
+        ix, v = idx[b][keep], val[b][keep]
+        order = np.argsort(ix)
+        idx_list.append(ix[order])
+        val_list.append(v[order])
+    # host_max_n=0: always exercise the DEVICE Gram here — the host
+    # fallback is a separately-tested scipy path
+    return sparse_gram_scores(idx_list, val_list, pad_len * pad_len,
+                              host_max_n=0)
+
+
 # ---------------------------------------------------------------------------
 # Whole-matrix reference sweeps + post passes
 # ---------------------------------------------------------------------------

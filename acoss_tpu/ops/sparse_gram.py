@@ -97,20 +97,40 @@ def sparse_gram_scores(idx_list, val_list, dim: int,
                        union_max: int = 1 << 21,
                        hbm_budget_bytes: int = 6 << 30,
                        max_row_block: int = 2048,
+                       host_max_n: int = 512,
                        force_device: bool = False) -> np.ndarray:
     """exp(-d^2) over all row pairs of the sparse shingle matrix.
 
     Numerically equivalent to `host_gram_scores` (fp32 HIGHEST matmul vs
     scipy's fp32 accumulation; tested to 1e-5). Device path when the
-    column union is concentrated, scipy fallback otherwise."""
+    column union is concentrated AND the corpus is big enough to matter
+    (measured host SpGEMM is ~10 s at n=1000 and quadratic beyond, but
+    sub-second at covers80 sizes where a remote compile would dominate);
+    scipy fallback otherwise."""
     n = len(idx_list)
     if n == 0:
         return np.zeros((0, 0), np.float32)
+    if n <= host_max_n and not force_device:
+        return host_gram_scores(idx_list, val_list, dim)
     usize, pos, val, sq = compact_shingles(idx_list, val_list)
     if usize > union_max and not force_device:
         return host_gram_scores(idx_list, val_list, dim)
 
-    upad = max(128, -(-usize // 128) * 128)
+    # The jitted block programs depend only on (R, upad, K), so bucket
+    # the shape params to let one compiled program serve many corpora
+    # (compiles here are remote and ~35 s each): union width to the next
+    # power of two while compiles dominate (small unions), 128-aligned
+    # once the matmul flops dominate (large unions, where pow2 padding
+    # would cost up to 2x flops for one saved compile).
+    if usize <= 1 << 17:
+        upad = 1 << max(10, int(np.ceil(np.log2(max(usize, 1)))))
+    else:
+        upad = -(-usize // 128) * 128
+    kpad = -(-pos.shape[1] // 256) * 256
+    if kpad != pos.shape[1]:
+        pos = np.pad(pos, ((0, 0), (0, kpad - pos.shape[1])),
+                     constant_values=usize)
+        val = np.pad(val, ((0, 0), (0, kpad - val.shape[1])))
     # two dense row blocks must fit the budget next to the compact form
     R = int(min(max_row_block,
                 max(8, hbm_budget_bytes // (2 * upad * 4))))

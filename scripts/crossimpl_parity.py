@@ -34,7 +34,8 @@ def main() -> int:
     ap.add_argument("--n-distractors", type=int, default=6)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--algos",
-                    default="Serra09,TGAlg,ChenFusion,EarlySNF")
+                    default="Serra09,TGAlg,ChenFusion,EarlySNF,"
+                            "StrucFTM2D,StrucShingles")
     ap.add_argument("--out", default="artifacts/crossimpl_parity.csv")
     args = ap.parse_args()
 
@@ -76,6 +77,45 @@ def main() -> int:
 
     all_rows = []
     for name in args.algos.split(","):
+        if name in ("StrucFTM2D", "StrucShingles"):
+            # Struc* shingle channel: the whole scoring stage downstream
+            # of the fused W is reference "glue" (no importable library
+            # call — `StrucFTM2D.py:132-142` + `all_pairwise:173-189`),
+            # so both stacks run from SHARED fused-W matrices; the
+            # upstream W construction needs librosa on the reference
+            # side (absent here) and is covered by the EarlySNF SNF
+            # comparisons above.
+            from acoss_tpu.benchmarking.algorithms.struct_common import \
+                structural_fused_w_all
+
+            pad_len = 128
+            t0 = time.time()
+            Ws = [w for (w, _on, _n) in structural_fused_w_all(
+                fs, "hpcp", 5, 5, 5, True, 4,
+                fuse_features=("mfcc", "hpcp"), tempogram_win=96)]
+            t_desc = time.time() - t0
+            do_fft = name == "StrucFTM2D"
+            t0 = time.time()
+            S_tpu = crossimpl.acoss_struc_shingle_scores(Ws, pad_len,
+                                                         do_fft)
+            t_tpu = time.time() - t0
+            t0 = time.time()
+            S_ref = crossimpl.ref_struc_shingle_scores(Ws, pad_len,
+                                                       do_fft)
+            t_ref = time.time() - t0
+            print(f"[{name}] fused-W {t_desc:.1f}s, acoss "
+                  f"{t_tpu:.1f}s, reference {t_ref:.1f}s")
+            for r in crossimpl.compare_channels(
+                    {"main": S_ref}, {"main": S_tpu}, fs.labels):
+                r["algorithm"] = name
+                all_rows.append(r)
+                print(f"  {r['channel']:<22} "
+                      f"max|d|={r['max_abs_dscore']:.3e} "
+                      f"mean|d|={r['mean_abs_dscore']:.3e} "
+                      f"<=1e-3: {100 * r['frac_within_1e3']:.1f}%  "
+                      f"MAP ref={r['map_ref']:.4f} "
+                      f"tpu={r['map_tpu']:.4f} dMAP={r['dmap']:+.4f}")
+            continue
         algo = configs[name]()
         t0 = time.time()
         desc = algo.extract_descriptors(fs)

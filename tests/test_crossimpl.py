@@ -96,6 +96,27 @@ def test_tempogram_crossimpl(corpus):
     _assert_rows(rows, 1e-4)
 
 
+def test_struc_shingle_crossimpl(corpus):
+    """Struc* shingle scoring (pad -> [fft2] -> log-norm -> top-5P cutoff
+    -> sparse Gram -> exp(-d^2), `StrucFTM2D.py:132-142` + `:173-189`)
+    from SHARED fused-W inputs: fp64 reference literal vs the device
+    shingle top-k + dense-over-union Gram."""
+    from acoss_tpu.benchmarking.algorithms.struct_common import \
+        structural_fused_w_all
+
+    Ws = [w for (w, _on, _n) in structural_fused_w_all(
+        corpus, "hpcp", 5, 5, 5, True, 4,
+        fuse_features=("mfcc", "hpcp"), tempogram_win=96)]
+    for do_fft in (True, False):
+        S_ref = crossimpl.ref_struc_shingle_scores(Ws, 64, do_fft)
+        S_tpu = crossimpl.acoss_struc_shingle_scores(Ws, 64, do_fft)
+        rows = crossimpl.compare_channels({"main": S_ref},
+                                          {"main": S_tpu}, corpus.labels)
+        # fp32 device path vs fp64 reference: deltas bounded by the
+        # top-k boundary's tie sensitivity, MAP identical
+        _assert_rows(rows, 1e-3)
+
+
 def test_chenfusion_crossimpl(corpus):
     from acoss_tpu.benchmarking.algorithms import ChenFusion
 

@@ -71,6 +71,7 @@ def test_struc_algorithms_device_vs_host_scores():
     from acoss_tpu.benchmarking.algorithms.struc_ftm2d import StrucShingles
     rng = np.random.default_rng(3)
     algo = StrucShingles()
+    algo.HOST_MAX_N = 0   # force the device path at this tiny n
     n, dim = 9, algo.PAD_LEN * algo.PAD_LEN
     idx, val = _random_shingles(rng, n, dim, 50, 120)
     desc = {"idx": idx, "val": val, "dim": dim}
