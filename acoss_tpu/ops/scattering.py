@@ -73,51 +73,129 @@ def _filter_bank_2d(M, N, J, L):
             phi_f.astype(np.float32))
 
 
+def _np_fold2(Xf: np.ndarray, k: int) -> np.ndarray:
+    """Host-side `_fold2` (sum-periodization of a Fourier filter, the
+    kymatio `periodize_filter_fourier` construction)."""
+    shape = Xf.shape
+    M, N = shape[-2], shape[-1]
+    return Xf.reshape(shape[:-2] + (k, M // k, k, N // k)).sum(
+        axis=(-4, -2))
+
+
+def _fold2(Xf, k: int):
+    """Fourier fold: (..., M, N) -> (..., M/k, N/k) alias-block sum.
+
+    `ifft2(fold2(Xf, k)) / k^2 == ifft2(Xf)[..., ::k, ::k]` exactly (the
+    DFT decimation identity), so a smoothed-and-subsampled output can be
+    computed with the inverse FFT at the SMALL size."""
+    if k == 1:
+        return Xf
+    shape = Xf.shape
+    M, N = shape[-2], shape[-1]
+    X = Xf.reshape(shape[:-2] + (k, M // k, k, N // k))
+    return X.sum(axis=(-4, -2))
+
+
 class Scattering2D:
     """2D scattering transform; output (1 + JL + L^2 J(J-1)/2, M/2^J, N/2^J).
 
     Drop-in for kymatio's `Scattering2D(shape, J, L)` as used by
     `Serra09.py:20-22` and `StrucScattering.py:21-22` (call the instance on
     an (..., M, N) array).
-    """
 
-    def __init__(self, shape: tuple[int, int], J: int = 2, L: int = 8):
+    `subsample`: run the multiscale pipeline at REDUCED resolutions the
+    way kymatio itself does — U1 at scale j1 is decimated to M/2^j1 (an
+    exact fold-decimation, see `_fold2`) and the second order convolves
+    with sum-periodized filters at that resolution (kymatio's
+    `periodize_filter_fourier` approximation: the only error is the
+    filter tail aliased by periodization, negligible for these
+    well-localized Morlets). Cuts the FFT work ~2.5x at 512^2/J=6.
+    Default (None) auto-enables at min(shape) >= 256, so the small-size
+    uses (Serra09's 64^2 block-SSM scattering, the golden-fixture
+    anchors) keep the full-resolution path bit-for-bit."""
+
+    def __init__(self, shape: tuple[int, int], J: int = 2, L: int = 8,
+                 subsample: bool | None = None):
         self.shape = shape
         self.J = J
         self.L = L
         M, N = shape
+        if subsample is None:
+            subsample = min(M, N) >= 256
+        self.subsample = bool(subsample and M % (1 << J) == 0
+                              and N % (1 << J) == 0)
         psi, phi = _filter_bank_2d(M, N, J, L)
         self._psi = jnp.asarray(psi)     # (J, L, M, N) Fourier
         self._phi = jnp.asarray(phi)     # (M, N) Fourier
+        # sum-periodized filters at each working resolution (host
+        # numpy once; compile-time constants under jit)
+        self._phi_sub = {}
+        self._psi_sub = {}
+        for j1 in range(J):
+            s = 1 << j1
+            if s > 1:
+                self._phi_sub[s] = jnp.asarray(_np_fold2(phi, s))
+                for j2 in range(j1 + 1, J):
+                    self._psi_sub[(j2, s)] = jnp.asarray(
+                        _np_fold2(psi[j2], s))
+        for j2 in range(1, J):           # pool resolutions for S2
+            s = 1 << j2
+            if s not in self._phi_sub:
+                self._phi_sub[s] = jnp.asarray(_np_fold2(phi, s))
         self._call = jax.jit(self._scatter)
 
-    def _lowpass_pool(self, x):
-        """x (..., M, N) real -> phi smoothing + 2^J subsampling."""
-        J = self.J
-        xf = jnp.fft.fft2(x)
-        sm = jnp.real(jnp.fft.ifft2(xf * self._phi))
-        return sm[..., ::2 ** J, ::2 ** J]
+    def _pool_spec(self, xf, j: int):
+        """Spectrum of a real signal at resolution M/2^j -> phi
+        smoothing + EXACT fold-decimation to the output resolution
+        M/2^J (the inverse FFT runs at the output size)."""
+        k = 1 << (self.J - j)
+        phi = self._phi if j == 0 else self._phi_sub[1 << j]
+        sm = jnp.real(jnp.fft.ifft2(_fold2(xf * phi, k)))
+        return sm / float(k * k)
 
     def _scatter(self, x):
         J, L = self.J, self.L
         xf = jnp.fft.fft2(x)
-        # order 1: U1[j, l] = |x * psi_{j, l}|
-        U1 = jnp.abs(jnp.fft.ifft2(
-            xf[..., None, None, :, :] * self._psi))   # (..., J, L, M, N)
-        outs = [self._lowpass_pool(x)[..., None, :, :]]           # S0
-        S1 = self._lowpass_pool(U1)                   # (..., J, L, m, n)
-        outs.append(S1.reshape(S1.shape[:-4] + (J * L,) + S1.shape[-2:]))
-        # order 2: j2 > j1
+        outs = [self._pool_spec(xf, 0)[..., None, :, :]]          # S0
         S2s = []
-        for j1 in range(J):
-            u1f = jnp.fft.fft2(U1[..., j1, :, :, :])  # (..., L, M, N)
-            for j2 in range(j1 + 1, J):
-                U2 = jnp.abs(jnp.fft.ifft2(
-                    u1f[..., None, :, :] * self._psi[j2]))
-                # (..., L1, L2, M, N)
-                S2 = self._lowpass_pool(U2)
-                S2s.append(S2.reshape(
-                    S2.shape[:-4] + (L * L,) + S2.shape[-2:]))
+        if not self.subsample:
+            # full-resolution pipeline (pools still fold-decimate)
+            U1 = jnp.abs(jnp.fft.ifft2(
+                xf[..., None, None, :, :] * self._psi))  # (..., J, L, M, N)
+            U1f = jnp.fft.fft2(U1)
+            S1 = self._pool_spec(U1f, 0)                 # (..., J, L, m, n)
+            outs.append(S1.reshape(
+                S1.shape[:-4] + (J * L,) + S1.shape[-2:]))
+            for j1 in range(J):
+                u1f = U1f[..., j1, :, :, :]
+                for j2 in range(j1 + 1, J):
+                    U2 = jnp.abs(jnp.fft.ifft2(
+                        u1f[..., None, :, :] * self._psi[j2]))
+                    S2 = self._pool_spec(jnp.fft.fft2(U2), 0)
+                    S2s.append(S2.reshape(
+                        S2.shape[:-4] + (L * L,) + S2.shape[-2:]))
+        else:
+            S1s, U1fs = [], []
+            for j1 in range(J):
+                s = 1 << j1
+                prod = xf[..., None, :, :] * self._psi[j1]  # (..., L, M, N)
+                U1 = jnp.abs(jnp.fft.ifft2(_fold2(prod, s))) / float(s * s)
+                u1f = jnp.fft.fft2(U1)                  # res M/s
+                U1fs.append(u1f)
+                S1s.append(self._pool_spec(u1f, j1))
+            outs.append(jnp.concatenate(S1s, axis=-3))
+            for j1 in range(J):
+                u1f, s = U1fs[j1], 1 << j1
+                for j2 in range(j1 + 1, J):
+                    kk = 1 << (j2 - j1)
+                    psi2 = (self._psi[j2] if s == 1
+                            else self._psi_sub[(j2, s)])
+                    prod = u1f[..., None, :, :] * psi2
+                    U2 = jnp.abs(jnp.fft.ifft2(
+                        _fold2(prod, kk))) / float(kk * kk)
+                    S2 = self._pool_spec(jnp.fft.fft2(U2), j2)
+                    S2s.append(S2.reshape(
+                        S2.shape[:-4] + (L * L,) + S2.shape[-2:]))
         if S2s:
             outs.append(jnp.concatenate(S2s, axis=-3))
         return jnp.concatenate(outs, axis=-3)

@@ -76,3 +76,32 @@ def test_resize_downscale_antialias(rng):
                            anti_aliasing=False))
     assert up.shape == (32, 32)
     assert up.max() <= 1.0 + 1e-5
+
+
+def test_scattering2d_subsampled_matches_full_res(rng):
+    """The reduced-resolution pipeline (kymatio-style U1 decimation +
+    sum-periodized filters) matches the full-resolution path: S0 is an
+    EXACT fold-decimation identity, band-pass paths differ only by the
+    periodized filter tail (<~2% per path)."""
+    from acoss_tpu.ops.scattering import Scattering2D
+
+    x = rng.random((2, 128, 128)).astype(np.float32)
+    full = np.asarray(Scattering2D((128, 128), J=3, L=4,
+                                   subsample=False)(x))
+    sub = np.asarray(Scattering2D((128, 128), J=3, L=4,
+                                  subsample=True)(x))
+    assert full.shape == sub.shape
+    np.testing.assert_allclose(sub[:, 0], full[:, 0], rtol=1e-4,
+                               atol=1e-6)
+    num = np.linalg.norm((full - sub).reshape(-1, full.shape[1],
+                                              16 * 16), axis=-1)
+    den = np.linalg.norm(full.reshape(-1, full.shape[1], 16 * 16),
+                         axis=-1) + 1e-12
+    assert (num / den).max() < 0.05
+
+
+def test_scattering2d_subsample_auto_threshold():
+    from acoss_tpu.ops.scattering import Scattering2D
+
+    assert not Scattering2D((64, 64), J=2, L=4).subsample
+    assert Scattering2D((256, 256), J=2, L=4).subsample
