@@ -25,6 +25,28 @@ from acoss_tpu.ops.scattering import Scattering1D
 
 DOWNSAMPLE_FAC = 16
 
+# songs per scattering dispatch: bounds the complex U1/U2 working set in
+# HBM (64 songs x ~200 paths x 16384 x 8 B ~ 1.6 GB) while amortizing
+# the ~30 ms tunnel RTT over the batch
+SCATTER_CHUNK = 64
+
+
+def _chunked(scatter, X: np.ndarray, chunk: int = SCATTER_CHUNK):
+    """Apply a scattering instance over the leading axis in fixed-size
+    chunks (tail repeat-padded so each corpus compiles O(1) shapes)."""
+    n = X.shape[0]
+    if n <= chunk:
+        return np.asarray(scatter(X))
+    outs = []
+    for lo in range(0, n, chunk):
+        part = X[lo:lo + chunk]
+        valid = part.shape[0]
+        if valid < chunk:
+            part = np.concatenate(
+                [part, np.repeat(part[:1], chunk - valid, axis=0)])
+        outs.append(np.asarray(scatter(part))[:valid])
+    return np.concatenate(outs, axis=0)
+
 
 class ANFScattering(CoverAlgorithm):
     NAME = "ANFScattering"
@@ -40,36 +62,47 @@ class ANFScattering(CoverAlgorithm):
         self.S = Scattering1D(J, T, Q)
         self.S2 = Scattering1D(J, T // DOWNSAMPLE_FAC, Q)
 
-    def _song(self, novfn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _song_prep(self, novfn: np.ndarray):
+        """Host prep: polyphase resample to exactly T samples, global
+        z-norm vector + 16 per-segment z-normed windows."""
         l = np.lcm(novfn.size, self.T)
         x = scipy.signal.resample_poly(
             novfn, int(l / novfn.size), int(l / self.T))
         y = x - np.mean(x)
         n = np.sqrt(np.sum(y ** 2))
         y = y / (n if n > 0 else 1.0)
-        glob = np.asarray(self.S(y)).ravel()
         win = x.size // DOWNSAMPLE_FAC
         segs = x[:win * DOWNSAMPLE_FAC].reshape(DOWNSAMPLE_FAC, win)
         segs = segs - segs.mean(axis=1, keepdims=True)
         norms = np.sqrt(np.sum(segs ** 2, axis=1, keepdims=True))
         segs = segs / np.where(norms == 0, 1.0, norms)
-        sc = np.asarray(self.S2(segs))
-        sh = np.median(sc.reshape(DOWNSAMPLE_FAC, -1), axis=0)
-        n = np.sqrt(np.sum(sh ** 2))
-        sh = sh / (n if n > 0 else 1.0)
-        return glob.astype(np.float32), sh.astype(np.float32)
+        return y, segs
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
-        out = {k: [] for k in self.SIMILARITY_TYPES}
+        """Whole-corpus batched: all songs' resampled novelty functions
+        scatter in ONE device call per (feature, variant) — the per-song
+        version was 4 dispatches/song through a ~30 ms-RTT link."""
+        out = {}
         nlen = fs.length("novfn")
         slen = fs.length("snovfn")
-        for i in range(fs.n_songs):
-            for name, key, ln in (("novfn", "anfrnn", nlen),
-                                  ("snovfn", "anfsuperflux", slen)):
-                g, sh = self._song(fs.feature(name)[i, :ln[i], 0])
-                out[key].append(g)
-                out[f"{key}_shingle"].append(sh)
-        return {k: np.stack(v) for k, v in out.items()}
+        n_songs = fs.n_songs
+        for name, key, ln in (("novfn", "anfrnn", nlen),
+                              ("snovfn", "anfsuperflux", slen)):
+            globs, segss = [], []
+            for i in range(n_songs):
+                y, segs = self._song_prep(fs.feature(name)[i, :ln[i], 0])
+                globs.append(y)
+                segss.append(segs)
+            G = _chunked(self.S, np.stack(globs))         # (n, paths, t)
+            out[key] = np.ascontiguousarray(
+                G.reshape(n_songs, -1).astype(np.float32))
+            SC = _chunked(self.S2, np.stack(segss))       # (n, 16, p, t)
+            sh = np.median(SC.reshape(n_songs, DOWNSAMPLE_FAC, -1),
+                           axis=1)
+            norms = np.sqrt(np.sum(sh ** 2, axis=1, keepdims=True))
+            sh = sh / np.where(norms == 0, 1.0, norms)
+            out[f"{key}_shingle"] = sh.astype(np.float32)
+        return out
 
     def full_scores(self, desc: dict) -> dict:
         return {k: np.asarray(_gram_dist(jnp.asarray(desc[k])))
