@@ -313,14 +313,19 @@ def run_pairwise(
                        for k, v in dd.items()}
                 col = {k: jax.lax.dynamic_slice_in_dim(v, tj * tile, tile)
                        for k, v in dd.items()}
-                return algorithm.tile_scores(row, col)
+                # corpus may be pinned in HBM at half precision; upcast
+                # per tile so compute stays fp32
+                return algorithm.tile_scores(_upcast_half(row),
+                                             _upcast_half(col))
             return tile_at
 
         tile_at = _instance_jit(algorithm, f"tile_at:{tile}",
                                 _build_tile_at)
 
-    tile_fn = _instance_jit(algorithm, "tile_fn",
-                            lambda: jax.jit(algorithm.tile_scores))
+    tile_fn = _instance_jit(
+        algorithm, "tile_fn",
+        lambda: jax.jit(lambda r, c: algorithm.tile_scores(
+            _upcast_half(r), _upcast_half(c))))
 
     t0 = time.time()
     # Asynchronous dispatch pipelining (see _TileSweeper.submit/flush):
@@ -383,6 +388,21 @@ def _bucket_edges(n_songs: int, n_buckets: int, tile: int) -> np.ndarray:
     interior = [int(round(e / tile)) * tile for e in raw]
     edges = np.unique([0] + interior + [n_songs])
     return edges[(edges >= 0) & (edges <= n_songs)]
+
+
+def _upcast_half(d: dict) -> dict:
+    """Upcast half-precision descriptor leaves to float32 INSIDE the
+    jitted tile programs. Descriptors may be stored/streamed/pinned as
+    float16 (`data.descstore.extract_streamed(half=True)`) to halve the
+    disk store, the host->device column-tile traffic and the HBM corpus
+    footprint — the bandwidth-bound resources of a Da-TACOS-scale sweep
+    (the 15k ssms corpus is ~557 GB in fp32). Compute stays fp32: the
+    upcast is a fused elementwise op on bytes already on device."""
+    import jax.numpy as jnp
+
+    return {k: v.astype(jnp.float32)
+            if v.dtype in (jnp.float16, jnp.bfloat16) else v
+            for k, v in d.items()}
 
 
 def _pad_tile_pair_axis1(row: dict, col: dict):
@@ -469,6 +489,7 @@ def run_pairwise_bucketed(
     scores_dir: str | None = None,
     stream_dir: str | None = None,
     stream_chunk: int = 256,
+    stream_half: bool = False,
     device_resident: bool | None = None,
     checkpoint_every: int = 16,
     return_perm: bool = False,
@@ -534,7 +555,8 @@ def run_pairwise_bucketed(
                 with _prof.stages.stage("extract:bucket"):
                     descs.append(extract_streamed(
                         algorithm, fss.subset(np.arange(lo, hi)), path,
-                        chunk_songs=stream_chunk, verbose=verbose))
+                        chunk_songs=stream_chunk, verbose=verbose,
+                        half=stream_half))
     else:
         # ONE whole-corpus extraction on the sorted fs, then split into
         # buckets by row slice + trailing-zero axis-1 truncation —
@@ -567,7 +589,8 @@ def run_pairwise_bucketed(
                 col = {k: jax.lax.dynamic_slice_in_dim(
                     v, tj_loc * tile, tile) for k, v in dd_j.items()}
                 row, col = _pad_tile_pair_axis1(row, col)
-                return algorithm.tile_scores(row, col)
+                return algorithm.tile_scores(_upcast_half(row),
+                                             _upcast_half(col))
             return tile_at
 
         tile_at = _instance_jit(algorithm, f"bucket_tile_at:{tile}",
@@ -576,8 +599,8 @@ def run_pairwise_bucketed(
     tile_fn = _instance_jit(
         algorithm, "bucket_tile_fn",
         lambda: jax.jit(
-            lambda r, c: algorithm.tile_scores(*_pad_tile_pair_axis1(
-                r, c))))
+            lambda r, c: algorithm.tile_scores(*map(
+                _upcast_half, _pad_tile_pair_axis1(r, c)))))
 
     sweep = _TileSweeper(algorithm.SIMILARITY_TYPES, n, tile,
                          algorithm.SYMMETRIC, scores_dir,
@@ -698,8 +721,10 @@ def run_pairwise_hybrid(
             # kernels may materialize per-tile working copies of the
             # column tile (e.g. the tile-centered ssms), and a vmap
             # would hold tiles_per_panel of them in HBM at once
+            col32 = _upcast_half(col_dev)
+
             def body(_, r):
-                return None, algorithm.tile_scores(r, col_dev)
+                return None, algorithm.tile_scores(_upcast_half(r), col32)
 
             _, out = jax.lax.scan(body, None, tiled)
             return out

@@ -134,7 +134,8 @@ def _cmd_benchmark_inner(args) -> int:
             else:
                 desc = extract_streamed(algo, fs, desc_path,
                                         chunk_songs=args.stream_chunk,
-                                        verbose=True)
+                                        verbose=True,
+                                        half=args.stream_half)
         else:
             desc = algo.extract_descriptors(fs)
         if args.hybrid_panel:
@@ -208,6 +209,7 @@ def _cmd_benchmark_inner(args) -> int:
                 verbose=True, checkpoint_path=ckpt,
                 stream_dir=args.stream_dir,
                 stream_chunk=args.stream_chunk,
+                stream_half=args.stream_half,
                 return_desc=True, return_perm=True)
             _eval_and_report(algo, Ds, desc, fs.subset(perm), csv)
             return 0
@@ -219,7 +221,7 @@ def _cmd_benchmark_inner(args) -> int:
         else:
             desc = extract_streamed(algo, fs, desc_path,
                                     chunk_songs=args.stream_chunk,
-                                    verbose=True)
+                                    verbose=True, half=args.stream_half)
         if args.hybrid_panel:
             from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
 
@@ -311,6 +313,12 @@ def main(argv=None) -> int:
                         "the tile size)")
     b.add_argument("--stream-chunk", type=int, default=256,
                    help="songs per extraction chunk with --stream-dir")
+    b.add_argument("--stream-half", action="store_true",
+                   help="with --stream-dir: store heavy float32 "
+                        "descriptors as float16 (half the disk store, "
+                        "host->device traffic and HBM; compute upcasts "
+                        "to fp32 on device — a throughput mode, not for "
+                        "full-precision parity runs)")
     b.add_argument("--hybrid-panel", type=int, default=0, metavar="P",
                    help="with --stream-dir: hybrid device-panel / "
                         "disk-column sweep pinning P songs' descriptors "

@@ -88,7 +88,9 @@ class DescriptorStore:
 
 
 def extract_streamed(algorithm, fs, store_path: str,
-                     chunk_songs: int = 256, verbose: bool = False) -> dict:
+                     chunk_songs: int = 256, verbose: bool = False,
+                     half: bool = False,
+                     half_min_bytes: int = 65536) -> dict:
     """Chunked descriptor extraction into a DescriptorStore.
 
     Each chunk of songs is extracted with the algorithm's ordinary
@@ -97,6 +99,15 @@ def extract_streamed(algorithm, fs, store_path: str,
     first pass (tracking per-key maximum widths), then copied into the
     final fixed-width memmaps. Peak host memory is one chunk's
     descriptors. Returns the read-only descriptor dict.
+
+    `half=True` stores float32 descriptors whose PER-SONG slice is at
+    least `half_min_bytes` as float16 — a throughput mode for the
+    bandwidth-bound Da-TACOS sweeps: it halves the disk store (the 15k
+    ssms corpus is ~557 GB in fp32), the host->device tile traffic and
+    the HBM footprint. The sweeps upcast to fp32 on device before any
+    compute (`harness._upcast_half`), so only the stored values are
+    quantized (~1e-3 relative); small keys (lengths, global chroma)
+    stay exact. Opt-in: full-precision parity paths must leave it off.
     """
     n = fs.n_songs
     tmp_dir = store_path + ".chunks"
@@ -117,6 +128,9 @@ def extract_streamed(algorithm, fs, store_path: str,
                     f"support streamed extraction: descriptor {k!r} is "
                     f"not a fixed-rank array with leading dim n_songs "
                     f"(got dtype={v.dtype}, shape={v.shape})")
+            if (half and v.dtype == np.float32
+                    and v[:1].nbytes >= half_min_bytes):
+                v = v.astype(np.float16)
             payload[k] = v
             prev = widths.get(k)
             widths[k] = (v.shape[1:] if prev is None else

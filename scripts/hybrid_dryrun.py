@@ -37,14 +37,20 @@ import numpy as np
 
 
 def _make_store(path: str, n: int, L: int, ssm_dim: int,
-                chunk: int | None = None, seed: int = 0) -> dict:
-    """Synthetic EarlySNF-schema DescriptorStore written chunkwise."""
+                chunk: int | None = None, seed: int = 0,
+                half: bool = False) -> dict:
+    """Synthetic EarlySNF-schema DescriptorStore written chunkwise.
+
+    `half` stores the dominant ssms key as float16 (the
+    `extract_streamed(half=True)` layout): at Da-TACOS dims it halves
+    the disk store and every column-tile/panel upload."""
     from acoss_tpu.data.descstore import DescriptorStore
 
     if chunk is None:   # keep one chunk's ssms under ~2 GB of RAM
         chunk = max(1, min(512, int(2e9 / (L * ssm_dim * 4))))
     store = DescriptorStore(path, n)
     rng = np.random.default_rng(seed)
+    sdt = np.float16 if half else np.float32
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         m = hi - lo
@@ -53,7 +59,8 @@ def _make_store(path: str, n: int, L: int, ssm_dim: int,
         store.write("mfcc", lo,
                     rng.standard_normal((m, L, 13), dtype=np.float32))
         store.write("ssms", lo,
-                    rng.random((m, L, ssm_dim), dtype=np.float32))
+                    rng.random((m, L, ssm_dim),
+                               dtype=np.float32).astype(sdt))
         store.write("gchroma", lo,
                     rng.random((m, 12), dtype=np.float32))
         store.write("length", lo,
@@ -73,6 +80,9 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/hybrid_dryrun")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--half", action="store_true",
+                    help="store the ssms key as float16 (the "
+                         "--stream-half layout)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -91,11 +101,12 @@ def main() -> int:
         n, L, sdim = args.songs, 448, 20736
         pad_mult = 64
 
-    store_path = os.path.join(args.workdir, f"store_{args.mode}")
+    suffix = "_half" if args.half else ""
+    store_path = os.path.join(args.workdir, f"store_{args.mode}{suffix}")
     from acoss_tpu.data.descstore import DescriptorStore
     if not os.path.exists(os.path.join(store_path, DescriptorStore.META)):
         t0 = time.time()
-        desc = _make_store(store_path, n, L, sdim)
+        desc = _make_store(store_path, n, L, sdim, half=args.half)
         print(f"store built: {n} songs, L={L}, ssm_dim={sdim} "
               f"({time.time() - t0:.1f}s)")
     else:

@@ -186,6 +186,74 @@ def test_hybrid_panel_sweep_matches_plain(tmp_path):
                                    atol=2e-4)
 
 
+class WideDotAlg(DotAlg):
+    """Heavy descriptor (>= 64 KB/song) to exercise the half-precision
+    store layout; 'length' stays int32 (small/int keys are never
+    downcast)."""
+
+    def extract_descriptors(self, fs):
+        v = np.asarray(fs.feature("vec")[:, 0, :])
+        rng = np.random.default_rng(3)
+        W = rng.normal(size=(v.shape[1], 20000)).astype(np.float32)
+        return {"vec": (v @ W) / np.float32(np.sqrt(v.shape[1])),
+                "length": np.full(len(v), 1, np.int32)}
+
+
+def test_half_store_layout_and_sweep_error(tmp_path):
+    """extract_streamed(half=True): heavy fp32 keys land as float16 on
+    disk, small/int keys stay exact, and the sweeps upcast on device so
+    scores differ from the fp32 store only by input quantization
+    (~1e-3 relative)."""
+    fs = _fake_fs(20)
+    alg = WideDotAlg()
+    ref = run_pairwise(alg, alg.extract_descriptors(fs), 20, tile=4)
+
+    desc = extract_streamed(alg, fs, str(tmp_path / "store"),
+                            chunk_songs=7, half=True)
+    assert desc["vec"].dtype == np.float16
+    assert desc["length"].dtype == np.int32
+    scale = np.abs(ref["main"]).max()
+
+    # plain streamed sweep over the half store
+    got = run_pairwise(alg, desc, 20, tile=4)
+    np.testing.assert_allclose(got["main"], ref["main"],
+                               atol=5e-3 * scale)
+
+    # hybrid panel sweep over the half store (fp16 panel pinned in HBM,
+    # fp16 column tiles, upcast inside panel_vs_tile)
+    from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
+    Ds = run_pairwise_hybrid(alg, desc, 20, panel_songs=8, tile=4)
+    np.testing.assert_allclose(np.asarray(Ds["main"]), ref["main"],
+                               atol=5e-3 * scale)
+
+
+def test_half_store_real_algorithm_map_unchanged(tmp_path):
+    """Serra09 over a half-precision store: retrieval stats on the
+    planted-clique corpus match the fp32 store bit-for-bit (descriptor
+    quantization is far below the kNN-binarize decision margins)."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.benchmarking.evaluation import eval_statistics
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=5, clique_size=2, seed=21)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    D_ref = run_pairwise(algo, algo.extract_descriptors(fs),
+                         fs.n_songs, tile=4)
+    # tiny synthetic songs sit below the 64 KB/song default threshold;
+    # force even chroma/mfcc to fp16 — a stronger quantization test
+    store = extract_streamed(algo, fs, str(tmp_path / "store"),
+                             chunk_songs=5, half=True,
+                             half_min_bytes=256)
+    assert any(v.dtype == np.float16 for v in store.values())
+    assert store["length"].dtype != np.float16
+    Ds = run_pairwise(algo, store, fs.n_songs, tile=4)
+    for k in D_ref:
+        s_ref = eval_statistics(D_ref[k], fs.labels)
+        s_half = eval_statistics(Ds[k], fs.labels)
+        assert s_half.map == s_ref.map, k
+
+
 def test_hybrid_process_shards_merge_to_plain(tmp_path):
     """Multi-process hybrid sweep: panels sharded across processes from
     one shared disk store, memmap partials merged == plain run_pairwise
