@@ -47,6 +47,15 @@ def make_pair_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
     return Mesh(devices.reshape(shape), ("rows", "cols"))
 
 
+def _upcast_half(d: dict) -> dict:
+    """Half-precision descriptors (the `--stream-half` store layout) are
+    upcast to fp32 on device before compute — same contract as the
+    single-process sweeps (`harness._upcast_half`)."""
+    return {k: v.astype(jnp.float32)
+            if v.dtype in (jnp.float16, jnp.bfloat16) else v
+            for k, v in d.items()}
+
+
 def _pad_desc_np(desc: dict, n_to: int) -> dict:
     out = {}
     for k, v in desc.items():
@@ -106,9 +115,10 @@ def sharded_pair_scores(
         n_tiles = nloc // col_tile
         tiles = jax.tree.map(
             lambda v: v.reshape((n_tiles, col_tile) + v.shape[1:]), col_d)
+        row_d = _upcast_half(row_d)
 
         def body(_, col_t):
-            return None, tile_scores_fn(row_d, col_t)
+            return None, tile_scores_fn(row_d, _upcast_half(col_t))
 
         _, outs = jax.lax.scan(body, None, tiles)
         # outs: {type: (n_tiles, n_rows_local, col_tile)}
@@ -191,7 +201,8 @@ def sharded_pair_scores_triangular(
                     lambda v: jax.lax.dynamic_slice_in_dim(
                         v, cidx * chunk + t * col_tile, col_tile),
                     col_full)
-                return None, tile_scores_fn(row_blk, col_t)
+                return None, tile_scores_fn(_upcast_half(row_blk),
+                                            _upcast_half(col_t))
 
             _, outs = jax.lax.scan(col_tile_body, None,
                                    jnp.arange(n_ct))

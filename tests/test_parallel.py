@@ -75,6 +75,34 @@ def test_triangular_sharded_matches_single_device(n_devices):
         np.testing.assert_allclose(D_tr[k], D_ref[k], atol=1e-5)
 
 
+def test_sharded_half_precision_descriptors():
+    """fp16 descriptors (the --stream-half store layout) through both
+    mesh sweeps: upcast to fp32 on device, scores within quantization
+    error of the fp32 run."""
+    from acoss_tpu.parallel import sharded_pair_scores_triangular
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=7)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+    half = {k: np.asarray(v).astype(np.float16)
+            if np.asarray(v).dtype == np.float32 else np.asarray(v)
+            for k, v in desc.items()}
+
+    D_ref = run_pairwise(algo, desc, fs.n_songs, tile=8)
+    mesh = make_pair_mesh(shape=(2, 4))
+    D_sh = sharded_pair_scores(algo.tile_scores, half, fs.n_songs, mesh,
+                               col_tile=4)
+    D_tr = sharded_pair_scores_triangular(
+        algo.tile_scores, half, fs.n_songs, col_tile=4)
+    tril = np.tril_indices(fs.n_songs, -1)
+    for k in D_ref:
+        assert D_sh[k].dtype == np.float32
+        np.testing.assert_allclose(D_sh[k][tril], D_ref[k][tril],
+                                   atol=5e-2)
+        np.testing.assert_allclose(D_tr[k][tril], D_ref[k][tril],
+                                   atol=5e-2)
+
+
 def test_triangular_fold_balance():
     """Every device owns exactly 2D+1 equal-size blocks (constant work)."""
     D = 4
