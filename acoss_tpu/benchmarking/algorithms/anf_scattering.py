@@ -31,12 +31,19 @@ DOWNSAMPLE_FAC = 16
 SCATTER_CHUNK = 64
 
 
-def _chunked(scatter, X: np.ndarray, chunk: int = SCATTER_CHUNK):
+def _chunked(scatter, X: np.ndarray, chunk: int = SCATTER_CHUNK,
+             reduce=None):
     """Apply a scattering instance over the leading axis in fixed-size
-    chunks (tail repeat-padded so each corpus compiles O(1) shapes)."""
+    chunks (tail repeat-padded so each corpus compiles O(1) shapes).
+
+    `reduce(chunk_out) -> smaller array` runs per chunk BEFORE
+    accumulation, so corpus-sized pre-reduction tensors (e.g. the
+    16x-per-song segment scattering before its median) never
+    materialize in host RAM."""
     n = X.shape[0]
     if n <= chunk:
-        return np.asarray(scatter(X))
+        out = np.asarray(scatter(X))
+        return reduce(out) if reduce is not None else out
     outs = []
     for lo in range(0, n, chunk):
         part = X[lo:lo + chunk]
@@ -44,7 +51,8 @@ def _chunked(scatter, X: np.ndarray, chunk: int = SCATTER_CHUNK):
         if valid < chunk:
             part = np.concatenate(
                 [part, np.repeat(part[:1], chunk - valid, axis=0)])
-        outs.append(np.asarray(scatter(part))[:valid])
+        out = np.asarray(scatter(part))[:valid]
+        outs.append(reduce(out) if reduce is not None else out)
     return np.concatenate(outs, axis=0)
 
 
@@ -76,7 +84,10 @@ class ANFScattering(CoverAlgorithm):
         segs = segs - segs.mean(axis=1, keepdims=True)
         norms = np.sqrt(np.sum(segs ** 2, axis=1, keepdims=True))
         segs = segs / np.where(norms == 0, 1.0, norms)
-        return y, segs
+        # fp32 here is exact w.r.t. the pipeline: the scattering casts
+        # its input to fp32 anyway; this halves the corpus prep stacks
+        # (resample_poly returns float64)
+        return y.astype(np.float32), segs.astype(np.float32)
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
         """Whole-corpus batched: all songs' resampled novelty functions
@@ -96,9 +107,12 @@ class ANFScattering(CoverAlgorithm):
             G = _chunked(self.S, np.stack(globs))         # (n, paths, t)
             out[key] = np.ascontiguousarray(
                 G.reshape(n_songs, -1).astype(np.float32))
-            SC = _chunked(self.S2, np.stack(segss))       # (n, 16, p, t)
-            sh = np.median(SC.reshape(n_songs, DOWNSAMPLE_FAC, -1),
-                           axis=1)
+            # per-chunk median over the 16 segment windows: only the
+            # (chunk, 16, p, t) pre-median tensor is ever resident
+            sh = _chunked(
+                self.S2, np.stack(segss),
+                reduce=lambda SC: np.median(
+                    SC.reshape(SC.shape[0], DOWNSAMPLE_FAC, -1), axis=1))
             norms = np.sqrt(np.sum(sh ** 2, axis=1, keepdims=True))
             sh = sh / np.where(norms == 0, 1.0, norms)
             out[f"{key}_shingle"] = sh.astype(np.float32)

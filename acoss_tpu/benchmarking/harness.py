@@ -31,6 +31,7 @@ import numpy as np
 
 from acoss_tpu.benchmarking.evaluation import (EvalStats, eval_statistics,
                                                write_results_csv)
+from acoss_tpu.data.descstore import upcast_half as _upcast_half
 from acoss_tpu.data.store import FeatureSet
 from acoss_tpu.utils import profiling as _prof
 
@@ -156,15 +157,33 @@ class _TileSweeper:
 
         if checkpoint_path and os.path.exists(checkpoint_path):
             with np.load(checkpoint_path) as z:
+                # the extra-meta key sets must match EXACTLY in both
+                # directions: a plain sweep must not adopt a bucketed
+                # sweep's ledger (whose tiles index the length-SORTED
+                # order) just because its own ckpt_extra is empty
+                base = {"done", "tile", "n_songs"}
+                extra = {k for k in z.files
+                         if k not in base and not k.startswith("D::")}
                 meta_ok = (int(z["tile"]) == tile
                            and int(z["n_songs"]) == n_songs
-                           and all(k in z and int(z[k]) == int(v)
+                           and extra == set(self.ckpt_extra)
+                           and all(int(z[k]) == int(v)
                                    for k, v in self.ckpt_extra.items()))
                 if meta_ok:
                     self.done = z["done"]
                     if scores_dir is None:
                         for k in self.Ds:
                             self.Ds[k] = z[f"D::{k}"]
+
+        # `symmetrized.flag` certifies the memmaps' upper triangle
+        # mirrors the CURRENT lower triangle. If this sweep is going to
+        # (re)write any tile — fresh run over a reused scores_dir, or a
+        # partial resume — that certificate is stale: drop it so
+        # finalize() re-mirrors.
+        if scores_dir is not None and self.symmetric:
+            flag = os.path.join(scores_dir, "symmetrized.flag")
+            if os.path.exists(flag) and not self.done.all():
+                os.remove(flag)
 
         self._row_idx = np.arange(tile)
         self._pending: list = []
@@ -341,16 +360,19 @@ def run_pairwise(
         cols = list(cols)
         if ti % 2 == 1:
             cols = cols[::-1]
+        cols = [tj for tj in cols
+                if not done[ti, tj]
+                and (tile_filter is None or tile_filter(ti, tj))]
+        if not cols:
+            continue
         # streaming mode: pin the row tile on device for the whole
         # block-row (it would otherwise re-cross the host link once per
-        # column tile)
+        # column tile); skipped entirely when the ledger/filter leaves
+        # nothing in this row — a resume or process shard must not
+        # stream descriptors it will never score
         row = None if device_resident else jax.device_put(
             _tile_slice(desc, ti * tile, (ti + 1) * tile, tile))
         for tj in cols:
-            if done[ti, tj]:
-                continue
-            if tile_filter is not None and not tile_filter(ti, tj):
-                continue
             with _prof.stages.stage("sweep:tile"), \
                     _prof.step_annotation("tile", ti=ti, tj=tj):
                 if device_resident:
@@ -390,19 +412,6 @@ def _bucket_edges(n_songs: int, n_buckets: int, tile: int) -> np.ndarray:
     return edges[(edges >= 0) & (edges <= n_songs)]
 
 
-def _upcast_half(d: dict) -> dict:
-    """Upcast half-precision descriptor leaves to float32 INSIDE the
-    jitted tile programs. Descriptors may be stored/streamed/pinned as
-    float16 (`data.descstore.extract_streamed(half=True)`) to halve the
-    disk store, the host->device column-tile traffic and the HBM corpus
-    footprint — the bandwidth-bound resources of a Da-TACOS-scale sweep
-    (the 15k ssms corpus is ~557 GB in fp32). Compute stays fp32: the
-    upcast is a fused elementwise op on bytes already on device."""
-    import jax.numpy as jnp
-
-    return {k: v.astype(jnp.float32)
-            if v.dtype in (jnp.float16, jnp.bfloat16) else v
-            for k, v in d.items()}
 
 
 def _pad_tile_pair_axis1(row: dict, col: dict):
@@ -614,14 +623,17 @@ def run_pairwise_bucketed(
             else list(range(n_tiles))
         if ti % 2 == 1:
             cols = cols[::-1]
+        cols = [tj for tj in cols if not done[ti, tj]]
+        if not cols:
+            continue
         row_host = None
         if not device_resident:
+            # only streamed when this row actually has work (a resume
+            # must not re-stream the whole store)
             lo_i = ti * tile - int(edges[bi])
             row_host = jax.device_put(
                 _tile_slice(descs[bi], lo_i, lo_i + tile, tile))
         for tj in cols:
-            if done[ti, tj]:
-                continue
             bj = int(bucket_of[tj])
             with _prof.stages.stage("sweep:tile"), \
                     _prof.step_annotation("tile", ti=ti, tj=tj):

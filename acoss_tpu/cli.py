@@ -128,14 +128,27 @@ def _cmd_benchmark_inner(args) -> int:
                                                   extract_streamed)
 
             desc_path = os.path.join(args.stream_dir, "desc")
-            if os.path.exists(os.path.join(desc_path,
-                                           DescriptorStore.META)):
+            meta = os.path.join(desc_path, DescriptorStore.META)
+            if os.path.exists(meta):
                 desc = DescriptorStore.open(desc_path)
-            else:
+            elif args.process_id == 0:
+                # exactly ONE process may build the shared store
+                # (concurrent extract_streamed calls would race on the
+                # .chunks staging files and half-written memmaps); the
+                # META file is written only after the final copy pass,
+                # so its appearance is the completion barrier the other
+                # shards wait on
                 desc = extract_streamed(algo, fs, desc_path,
                                         chunk_songs=args.stream_chunk,
                                         verbose=True,
                                         half=args.stream_half)
+            else:
+                import time as _time
+
+                print(f"waiting for process 0 to build {desc_path} ...")
+                while not os.path.exists(meta):
+                    _time.sleep(5.0)
+                desc = DescriptorStore.open(desc_path)
         else:
             desc = algo.extract_descriptors(fs)
         if args.hybrid_panel:
@@ -274,6 +287,16 @@ def cmd_extract(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS request through the config API as
+    # well: preinstalled TPU plugins can ignore the env var, and a user
+    # asking for cpu must never hang on an unreachable accelerator
+    # backend's init retry loop.
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     parser = argparse.ArgumentParser(prog="acoss_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

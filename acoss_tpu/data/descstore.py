@@ -87,6 +87,23 @@ class DescriptorStore:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
+def upcast_half(d: dict) -> dict:
+    """Upcast half-precision descriptor leaves to float32 INSIDE a jitted
+    tile program. Descriptors may be stored/streamed/pinned as float16
+    (`extract_streamed(half=True)`) to halve the disk store, the
+    host->device tile traffic and the HBM corpus footprint — the
+    bandwidth-bound resources of a Da-TACOS-scale sweep (the 15k ssms
+    corpus is ~557 GB in fp32). Compute stays fp32: the upcast is a fused
+    elementwise op on bytes already on device. The ONE definition of the
+    half contract — every sweep (harness single-process, parallel mesh)
+    imports it from here."""
+    import jax.numpy as jnp
+
+    return {k: v.astype(jnp.float32)
+            if v.dtype in (jnp.float16, jnp.bfloat16) else v
+            for k, v in d.items()}
+
+
 def extract_streamed(algorithm, fs, store_path: str,
                      chunk_songs: int = 256, verbose: bool = False,
                      half: bool = False,
@@ -105,7 +122,7 @@ def extract_streamed(algorithm, fs, store_path: str,
     bandwidth-bound Da-TACOS sweeps: it halves the disk store (the 15k
     ssms corpus is ~557 GB in fp32), the host->device tile traffic and
     the HBM footprint. The sweeps upcast to fp32 on device before any
-    compute (`harness._upcast_half`), so only the stored values are
+    compute (`upcast_half`), so only the stored values are
     quantized (~1e-3 relative); small keys (lengths, global chroma)
     stay exact. Opt-in: full-precision parity paths must leave it off.
     """
@@ -114,6 +131,7 @@ def extract_streamed(algorithm, fs, store_path: str,
     os.makedirs(tmp_dir, exist_ok=True)
     widths: dict = {}
     dtypes: dict = {}
+    half_keys: set = set()
     starts = list(range(0, n, chunk_songs))
     for ci, lo in enumerate(starts):
         hi = min(lo + chunk_songs, n)
@@ -128,8 +146,14 @@ def extract_streamed(algorithm, fs, store_path: str,
                     f"support streamed extraction: descriptor {k!r} is "
                     f"not a fixed-rank array with leading dim n_songs "
                     f"(got dtype={v.dtype}, shape={v.shape})")
-            if (half and v.dtype == np.float32
+            # the half-key set is decided ONCE, on the first chunk:
+            # chunk-local padded widths differ, and a near-threshold key
+            # must not end up fp16 in some chunks and fp32 in others
+            # (the store dtype would then depend on chunk order)
+            if (half and ci == 0 and v.dtype == np.float32
                     and v[:1].nbytes >= half_min_bytes):
+                half_keys.add(k)
+            if k in half_keys and v.dtype == np.float32:
                 v = v.astype(np.float16)
             payload[k] = v
             prev = widths.get(k)

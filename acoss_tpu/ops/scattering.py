@@ -73,15 +73,6 @@ def _filter_bank_2d(M, N, J, L):
             phi_f.astype(np.float32))
 
 
-def _np_fold2(Xf: np.ndarray, k: int) -> np.ndarray:
-    """Host-side `_fold2` (sum-periodization of a Fourier filter, the
-    kymatio `periodize_filter_fourier` construction)."""
-    shape = Xf.shape
-    M, N = shape[-2], shape[-1]
-    return Xf.reshape(shape[:-2] + (k, M // k, k, N // k)).sum(
-        axis=(-4, -2))
-
-
 def _fold2(Xf, k: int):
     """Fourier fold: (..., M, N) -> (..., M/k, N/k) alias-block sum.
 
@@ -128,20 +119,24 @@ class Scattering2D:
         self._psi = jnp.asarray(psi)     # (J, L, M, N) Fourier
         self._phi = jnp.asarray(phi)     # (M, N) Fourier
         # sum-periodized filters at each working resolution (host
-        # numpy once; compile-time constants under jit)
+        # numpy once; compile-time constants under jit). Only the
+        # subsample pipeline runs at reduced resolutions, and _fold2's
+        # reshape needs shapes divisible by 2^J — which self.subsample
+        # already guarantees when set.
         self._phi_sub = {}
         self._psi_sub = {}
-        for j1 in range(J):
-            s = 1 << j1
-            if s > 1:
-                self._phi_sub[s] = jnp.asarray(_np_fold2(phi, s))
-                for j2 in range(j1 + 1, J):
-                    self._psi_sub[(j2, s)] = jnp.asarray(
-                        _np_fold2(psi[j2], s))
-        for j2 in range(1, J):           # pool resolutions for S2
-            s = 1 << j2
-            if s not in self._phi_sub:
-                self._phi_sub[s] = jnp.asarray(_np_fold2(phi, s))
+        if self.subsample:
+            for j1 in range(J):
+                s = 1 << j1
+                if s > 1:
+                    self._phi_sub[s] = jnp.asarray(_fold2(phi, s))
+                    for j2 in range(j1 + 1, J):
+                        self._psi_sub[(j2, s)] = jnp.asarray(
+                            _fold2(psi[j2], s))
+            for j2 in range(1, J):       # pool resolutions for S2
+                s = 1 << j2
+                if s not in self._phi_sub:
+                    self._phi_sub[s] = jnp.asarray(_fold2(phi, s))
         self._call = jax.jit(self._scatter)
 
     def _pool_spec(self, xf, j: int):
@@ -150,8 +145,15 @@ class Scattering2D:
         M/2^J (the inverse FFT runs at the output size)."""
         k = 1 << (self.J - j)
         phi = self._phi if j == 0 else self._phi_sub[1 << j]
-        sm = jnp.real(jnp.fft.ifft2(_fold2(xf * phi, k)))
-        return sm / float(k * k)
+        prod = xf * phi
+        Mj, Nj = prod.shape[-2], prod.shape[-1]
+        if Mj % k == 0 and Nj % k == 0:
+            return jnp.real(jnp.fft.ifft2(_fold2(prod, k))) / float(k * k)
+        # shapes not divisible by 2^J (arbitrary-shape public contract):
+        # identical smoothing, subsample by slicing at full resolution
+        # (the fold-decimation identity is exactly this where both
+        # are defined)
+        return jnp.real(jnp.fft.ifft2(prod))[..., ::k, ::k]
 
     def _scatter(self, x):
         J, L = self.J, self.L

@@ -30,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# half-precision descriptors (--stream-half) upcast on device before
+# compute — the ONE definition of that contract lives with the store
+from acoss_tpu.data.descstore import upcast_half as _upcast_half
+
 
 def make_pair_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
     """A 2D ('rows', 'cols') mesh over the pair grid.
@@ -45,15 +49,6 @@ def make_pair_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh:
             r -= 1
         shape = (r, n // r)
     return Mesh(devices.reshape(shape), ("rows", "cols"))
-
-
-def _upcast_half(d: dict) -> dict:
-    """Half-precision descriptors (the `--stream-half` store layout) are
-    upcast to fp32 on device before compute — same contract as the
-    single-process sweeps (`harness._upcast_half`)."""
-    return {k: v.astype(jnp.float32)
-            if v.dtype in (jnp.float16, jnp.bfloat16) else v
-            for k, v in d.items()}
 
 
 def _pad_desc_np(desc: dict, n_to: int) -> dict:

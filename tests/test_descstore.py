@@ -281,3 +281,42 @@ def test_hybrid_process_shards_merge_to_plain(tmp_path):
     for k in D_ref:
         np.testing.assert_allclose(np.asarray(Ds[k]), D_ref[k],
                                    atol=2e-4)
+
+
+class ChunkWidthAlg(DotAlg):
+    """Descriptor whose chunk-local padded width straddles the
+    half_min_bytes threshold: odd chunks pad wider than even ones."""
+
+    def __init__(self):
+        super().__init__()
+        self._chunk = -1
+
+    def extract_descriptors(self, fs):
+        self._chunk += 1
+        v = np.asarray(fs.feature("vec")[:, 0, :])
+        w = 40 if self._chunk % 2 else 24   # 160 B vs 96 B per song
+        return {"vec": np.pad(v, [(0, 0), (0, w - v.shape[1])])}
+
+
+def test_half_key_decision_is_first_chunk_only(tmp_path):
+    """half=True must decide the fp16 key set ONCE (first chunk): a
+    near-threshold key whose chunk-local padded width straddles
+    half_min_bytes may not end up quantized in some chunks and exact in
+    others (nor may the store dtype depend on which chunk ran last)."""
+    fs = _fake_fs(20)
+
+    # first chunk below the threshold -> the key stays fp32 everywhere,
+    # even though later (wider) chunks cross it
+    desc = extract_streamed(ChunkWidthAlg(), fs,
+                            str(tmp_path / "store_lo"),
+                            chunk_songs=7, half=True, half_min_bytes=100)
+    assert desc["vec"].dtype == np.float32
+    ref = ChunkWidthAlg().extract_descriptors(fs.subset(np.arange(7)))
+    np.testing.assert_array_equal(desc["vec"][:7, :24],
+                                  ref["vec"][:, :24])
+
+    # first chunk above the threshold -> fp16 everywhere
+    desc2 = extract_streamed(ChunkWidthAlg(), fs,
+                             str(tmp_path / "store_hi"),
+                             chunk_songs=7, half=True, half_min_bytes=64)
+    assert desc2["vec"].dtype == np.float16

@@ -105,3 +105,18 @@ def test_scattering2d_subsample_auto_threshold():
 
     assert not Scattering2D((64, 64), J=2, L=4).subsample
     assert Scattering2D((256, 256), J=2, L=4).subsample
+
+
+def test_scattering2d_arbitrary_shape(rng):
+    """Shapes NOT divisible by 2^J (public kymatio-style contract) run on
+    the full-resolution path: phi smoothing at full size, subsample by
+    slicing (exactly the fold-decimation identity where both exist)."""
+    from acoss_tpu.ops.scattering import Scattering2D
+    x = rng.random((2, 100, 100)).astype(np.float32)
+    sc = Scattering2D((100, 100), J=3, L=4)
+    assert not sc.subsample
+    out = np.asarray(sc(x))
+    J, L = 3, 4
+    n_ch = 1 + J * L + L * L * J * (J - 1) // 2
+    assert out.shape == (2, n_ch, 13, 13)   # ceil(100 / 8) = 13
+    assert np.all(np.isfinite(out))
