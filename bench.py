@@ -45,6 +45,36 @@ def make_crps(rng, batch, L):
     return S, m_len, n_len
 
 
+def _wait_for_backend(max_wait: float = 900.0,
+                      probe_timeout: float = 90.0) -> None:
+    """The tunnel TPU backend can be transiently unavailable, and its
+    init path can HANG indefinitely (observed: a retry loop sleeping in
+    the plugin). Probe `jax.devices()` in a SUBPROCESS with a bound —
+    a hung in-process probe would wedge jax's backend lock for good —
+    and retry up to `max_wait`; on exhaustion, emit a diagnostic JSON
+    line and exit nonzero instead of hanging the driver."""
+    import subprocess
+
+    deadline = time.time() + max_wait
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(json.dumps({
+                "metric": "qmax_pairs_per_sec_per_chip", "value": 0.0,
+                "unit": "song-pairs/sec/chip", "vs_baseline": 0.0,
+                "error": f"TPU backend unavailable/hung for {max_wait:.0f}s"}))
+            sys.exit(1)
+        print("# TPU backend unavailable, retrying ...", file=sys.stderr)
+        time.sleep(15.0)
+
+
 def main():
     rng = np.random.default_rng(0)
     S, m_len, n_len = make_crps(rng, BATCH, L)
@@ -59,6 +89,7 @@ def main():
     cpu_pps = CPU_PAIRS / cpu_time
 
     # --- TPU: Pallas row-streaming qmax, amortized timing.
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
