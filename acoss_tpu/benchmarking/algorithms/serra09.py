@@ -232,7 +232,12 @@ class Serra09(CoverAlgorithm):
         if self.do_ssms:
             row, col = self._center_ssms(row, col)
         pallas, interp = alignment._use_pallas()
-        if pallas:
+        # the fused kernel implements only the fractional-kappa
+        # convention (per-row k = round(kappa * valid)); kappa == 0
+        # (all-ones CRP) and kappa >= 1 (fixed integer neighbor count,
+        # `CRPUtils.py:188-193`) take the XLA binarize path on every
+        # backend so the two backends agree
+        if pallas and 0.0 < self.kappa < 1.0:
             Bs, l1e, l2e = self._tile_crps_fused(row, col, interp)
         else:
             pair = jax.vmap(jax.vmap(self._pair_crps, in_axes=(None, 0)),

@@ -254,12 +254,25 @@ def sparse_top_shingle(flat: np.ndarray, n_keep: int):
     """log(flat / ||flat|| + 1), zeroing everything below the n_keep-th
     largest value (`StrucFTM2D.py:133-143`; like the reference, ties AT
     the cutoff are all kept, so nnz can slightly exceed n_keep).
-    Returns (indices, values) sorted by index."""
+    Returns (indices, values) sorted by index.
+
+    The cutoff is the EXACT n_keep-th largest (partition at kth =
+    n_keep - 1). The reference's own idiom
+    (`-np.partition(-shingle, PAD_LEN*5)[PAD_LEN*5-1]`) reads an
+    UNORDERED slot of the left partition — an arbitrary-among-top-k
+    value that occasionally (~1.5% of random inputs) sits above the
+    true k-th largest, against its stated intent ('the 5*PAD_LEN
+    largest elements', `StrucFTM2D.py:139`). We implement the intent:
+    this host fallback then agrees with the device path
+    (`ops.structure.shingle_topk_batch`, exact top-k) instead of
+    diverging on introselect's arbitrary choices. The literal
+    reference behavior lives only in the parity harness
+    (`crossimpl.ref_struc_shingle_scores`)."""
     n = np.sqrt(np.sum(flat.astype(np.float64) ** 2))
     s = np.log(flat / (n if n > 0 else 1.0) + 1)
     if n_keep >= s.size:
         idx = np.arange(s.size)
     else:
-        cutoff = -np.partition(-s, n_keep)[n_keep - 1]
+        cutoff = -np.partition(-s, n_keep - 1)[n_keep - 1]
         idx = np.flatnonzero(s >= cutoff)
     return idx.astype(np.int64), s[idx].astype(np.float32)

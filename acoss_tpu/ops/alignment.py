@@ -38,21 +38,6 @@ import jax
 import jax.numpy as jnp
 
 
-def skew(S: jax.Array) -> jax.Array:
-    """Shear (..., M, N) -> (..., M + N - 1, M): column-major anti-diagonals.
-
-    out[..., d, i] = S[..., i, d - i] when 0 <= d - i < N, else exactly 0.
-    Pure pad + reshape + transpose; no gathers. (Utility — the aligners
-    below stream rows instead and do not need it.)
-    """
-    *lead, M, N = S.shape
-    P = jnp.pad(S, [(0, 0)] * len(lead) + [(0, 0), (0, M)])
-    flat = P.reshape(*lead, M * (N + M))
-    flat = jax.lax.slice_in_dim(flat, 0, M * (N + M - 1), axis=-1)
-    sheared = flat.reshape(*lead, M, N + M - 1)
-    return jnp.moveaxis(sheared, -1, -2)
-
-
 def _shift(x: jax.Array, k: int) -> jax.Array:
     """shift(x, k)[..., j] = x[..., j - k], zeros shifted in at the front."""
     if k == 0:
@@ -292,7 +277,11 @@ def qmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
     """qmax with the fastest available implementation: the Pallas
     row-streaming kernel on TPU (const-gap case), else the XLA scan."""
     pallas, interp = _use_pallas()
-    if gap_onset == gap_extension and pallas:
+    # gap >= 0 is required by the Pallas kernel's padding-decay argument
+    # (mask-free phantom cells compute max(pre - gap, 0): a negative gap
+    # would GROW them past valid scores) — out of range falls back to
+    # the length-masked XLA scan.
+    if gap_onset == gap_extension and gap_onset >= 0.0 and pallas:
         from acoss_tpu.ops import alignment_pallas
         return alignment_pallas.qmax_batch_pallas(
             S, m_len, n_len, gap=gap_onset, interpret=interp)
@@ -305,10 +294,12 @@ def dmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
     """dmax with the fastest available implementation (see
     `qmax_batch_best`)."""
     pallas, interp = _use_pallas()
-    # gap <= 1.0 is required by the Pallas kernel's padding-decay argument
-    # (phantom cells accumulate skipped S values; the +1 match bonus must
-    # dominate) — out of range falls back to the length-masked XLA scan.
-    if gap_onset == gap_extension and gap_onset <= 1.0 and pallas:
+    # 0 <= gap <= 1 is required by the Pallas kernel's padding-decay
+    # argument (phantom cells accumulate skipped S values; the +1 match
+    # bonus must dominate, and a negative gap would grow phantom cells) —
+    # out of range falls back to the length-masked XLA scan.
+    if (gap_onset == gap_extension and 0.0 <= gap_onset <= 1.0
+            and pallas):
         from acoss_tpu.ops import alignment_pallas
         return alignment_pallas.dmax_batch_pallas(
             S, m_len, n_len, gap=gap_onset, interpret=interp)

@@ -234,7 +234,16 @@ def qmax_batch_pallas(S, m_len, n_len, gap: float = 0.5,
     Semantics identical to `alignment.qmax_batch` with
     gap_onset == gap_extension == gap. S must be zero outside
     (m_len, n_len) (guaranteed by the binarizers).
+
+    Requires gap >= 0: the mask-free padding-decay argument needs
+    phantom cells (max(pre - gap, 0)) to only ever DECAY; a negative
+    gap would grow them past valid scores.
+    `alignment.qmax_batch_best` falls back to the XLA scan out of range.
     """
+    if gap < 0.0:
+        raise ValueError(
+            f"qmax_batch_pallas requires gap >= 0 (got {gap}); use "
+            "alignment.qmax_batch for negative gaps")
     return _run(functools.partial(_qmax_kernel, block_t, gap), 3,
                 S, m_len, n_len, 3, block_b, block_t, interpret)
 
@@ -253,10 +262,10 @@ def dmax_batch_pallas(S, m_len, n_len, gap: float = 0.5,
     needs the +1 match bonus of the corresponding VALID cells to dominate.
     `alignment.dmax_batch_best` falls back to the XLA scan out of range.
     """
-    if gap > 1.0:
+    if not 0.0 <= gap <= 1.0:
         raise ValueError(
-            f"dmax_batch_pallas requires gap <= 1.0 (got {gap}); use "
-            "alignment.dmax_batch for larger gaps")
+            f"dmax_batch_pallas requires 0 <= gap <= 1.0 (got {gap}); "
+            "use alignment.dmax_batch outside that range")
     return _run(functools.partial(_dmax_kernel, block_t, gap), 4,
                 S, m_len, n_len, 4, block_b, block_t, interpret)
 

@@ -229,6 +229,12 @@ def _row_knn_mask(
     k = jnp.clip(n_neighbs, 1, kmax)
     thresh = jnp.take_along_axis(
         smallest, jnp.broadcast_to(k[None] - 1, (M, 1)), axis=1)
+    # n_neighbs == 0 (round(kappa * ncols) of a degenerate short song):
+    # the reference selects ZERO neighbors (argpartition[:, 0:0],
+    # `CRPUtils.py:194`) — an all-zero CRP, score 0 — so nothing may
+    # pass the threshold
+    thresh = jnp.where(n_neighbs > 0, thresh,
+                       jnp.asarray(-jnp.inf, D.dtype))
     B = (Dm <= thresh).astype(jnp.uint8)
     return B
 

@@ -147,7 +147,9 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
     """Batched binary CRPs: per pair b, the kNN binarization of
     sliding_csm(csm(X[b], Y[b]), m) with per-row k = round(kappa *
     valid_cols) (and per-col k = round(kappa * valid_rows) when
-    `mutual`), each clipped to >= 1.
+    `mutual`); a pair whose rounded k is 0 gets an all-zero CRP (the
+    reference's zero-neighbor selection). Requires 0 < kappa < 1 (the
+    fractional convention only — see the guard below).
 
     Args:
       X: (B, L, d) float32 row-song features, zero beyond l1[b] rows.
@@ -165,6 +167,15 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
     """
     if metric not in ("sqeuclidean", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
+    if not 0.0 < kappa < 1.0:
+        # the kernel implements only the fractional convention
+        # (round(kappa * valid) per row); kappa == 0 means an all-ones
+        # CRP and kappa >= 1 a FIXED neighbor count in the reference
+        # (`CRPUtils.py:188-193`) — callers must use the XLA binarize
+        # path for those
+        raise ValueError(
+            f"fused_binary_crp_batch requires 0 < kappa < 1 (got "
+            f"{kappa}); use crp.csm_to_binary[_mutual] otherwise")
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     B, L, d = X.shape
@@ -199,4 +210,13 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
     )(X, Y, l1, l2)
     l1e = jnp.maximum(l1[:B] - m + 1, 0)
     l2e = jnp.maximum(l2[:B] - m + 1, 0)
-    return S[:B], l1e, l2e
+    S = S[:B]
+    # degenerate pairs whose rounded neighbor count is ZERO: the
+    # reference selects no neighbors at all (argpartition[:, 0:0] ->
+    # all-zero CRP, `CRPUtils.py:194`), while the kernel clips its
+    # per-pair k to >= 1 — zero those pairs' CRPs here (k is uniform
+    # per pair, so the whole plot is affected or none of it)
+    kr = jnp.round(kappa * l2e.astype(jnp.float32)) > 0
+    if mutual:
+        kr = kr & (jnp.round(kappa * l1e.astype(jnp.float32)) > 0)
+    return S * kr[:, None, None].astype(S.dtype), l1e, l2e

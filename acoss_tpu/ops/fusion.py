@@ -92,7 +92,14 @@ def get_WCSM(CSMAB: jax.Array, k1, k2, Mu: float = 0.5,
     m1 = _mean_k_smallest(C, jnp.asarray(k2, jnp.int32))        # rows
     m2 = _mean_k_smallest(C.T, jnp.asarray(k1, jnp.int32))      # cols
     eps = (m1[:, None] + m2[None, :] + CSMAB) / 3.0
-    W = jnp.exp(-CSMAB ** 2 / (2.0 * (Mu * eps) ** 2))
+    denom = 2.0 * (Mu * eps) ** 2
+    # zero-denominator guard, same convention as get_W: an exactly-zero
+    # cross block (degenerate all-zero descriptors) yields affinity 1,
+    # not NaN. The reference guards get_W but not get_WCSM
+    # (`SimilarityFusion.py:68` vs `:89`) — there a zero block NaNs and
+    # poisons the whole SNF; we deviate only on those inputs.
+    denom = jnp.where(denom == 0, 1.0, denom)
+    W = jnp.exp(-CSMAB ** 2 / denom)
     if row_length is not None:
         W = W * (jnp.arange(M)[:, None] < row_length)
     if col_length is not None:

@@ -13,17 +13,6 @@ def random_crp(rng, m, n, density=0.1):
     return (rng.random((m, n)) < density).astype(np.uint8)
 
 
-def test_skew_layout(rng):
-    S = rng.integers(0, 5, size=(7, 11)).astype(np.float32)
-    K = np.asarray(alignment.skew(S))
-    assert K.shape == (17, 7)
-    for d in range(17):
-        for i in range(7):
-            j = d - i
-            want = S[i, j] if 0 <= j < 11 else 0.0
-            assert K[d, i] == want, (d, i)
-
-
 @pytest.mark.parametrize("shape", [(16, 16), (37, 23), (23, 37), (64, 64)])
 @pytest.mark.parametrize("density", [0.05, 0.25, 0.9])
 def test_qmax_vs_oracle(rng, shape, density):
@@ -121,3 +110,42 @@ def test_structured_match_scores():
     got = float(alignment.qmax(S))
     # Cells (2,2)..(31,31) each add +1 along the diagonal.
     assert got == pytest.approx(30.0)
+
+
+def test_negative_gap_uses_masked_scan(rng):
+    """Negative gap penalties must never dispatch to the Pallas kernels:
+    their mask-free padding-decay argument only holds for gap >= 0
+    (phantom cells would GROW by |gap|). The *_best dispatchers fall
+    back to the length-masked XLA scan, which stays oracle-exact."""
+    import jax.numpy as jnp
+
+    S = np.zeros((2, 48, 48), np.uint8)
+    S[0, :30, :40] = random_crp(rng, 30, 40, 0.15)
+    S[1, :48, :25] = random_crp(rng, 48, 25, 0.15)
+    ml = np.array([30, 48], np.int32)
+    nl = np.array([40, 25], np.int32)
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        got = np.asarray(alignment.qmax_batch_best(
+            jnp.asarray(S), ml, nl, gap_onset=-0.5, gap_extension=-0.5))
+        gotd = np.asarray(alignment.dmax_batch_best(
+            jnp.asarray(S), ml, nl, gap_onset=-0.5, gap_extension=-0.5))
+    finally:
+        alignment.set_alignment_impl(prev)
+    for b in range(2):
+        q = alignment.qmax_batch(S[b:b + 1, :ml[b], :nl[b]],
+                                 ml[b:b + 1], nl[b:b + 1],
+                                 gap_onset=-0.5, gap_extension=-0.5)
+        np.testing.assert_allclose(got[b], np.asarray(q)[0], atol=1e-4)
+        d = alignment.dmax_batch(S[b:b + 1, :ml[b], :nl[b]],
+                                 ml[b:b + 1], nl[b:b + 1],
+                                 gap_onset=-0.5, gap_extension=-0.5)
+        np.testing.assert_allclose(gotd[b], np.asarray(d)[0], atol=1e-4)
+
+    from acoss_tpu.ops import alignment_pallas
+    with pytest.raises(ValueError):
+        alignment_pallas.qmax_batch_pallas(
+            jnp.asarray(S), ml, nl, gap=-0.5, interpret=True)
+    with pytest.raises(ValueError):
+        alignment_pallas.dmax_batch_pallas(
+            jnp.asarray(S), ml, nl, gap=-0.5, interpret=True)

@@ -118,3 +118,26 @@ def test_chrompwr_preserves_norm(rng):
     # P = 1 is the identity
     np.testing.assert_allclose(
         np.asarray(crp.chrompwr(X, 1.0, axis=0)), X, atol=1e-5)
+
+
+def test_csm_to_binary_zero_neighbor_rows(rng):
+    """round(kappa * valid_cols) == 0 selects ZERO neighbors in the
+    reference (argpartition[:, 0:0] -> all-zero CRP); the rank-threshold
+    path must not clip the count up to 1."""
+    D = rng.random((12, 40)).astype(np.float32)
+    B = np.asarray(crp.csm_to_binary(D, 0.095,
+                                     col_length=np.int32(5)))
+    assert B.sum() == 0   # round(0.095 * 5) == 0
+
+
+def test_fused_binarizer_rejects_nonfractional_kappa(rng):
+    """The fused Pallas binarizer implements only the 0 < kappa < 1
+    fractional convention; kappa == 0 / kappa >= 1 must be refused (the
+    XLA path handles them) rather than silently rescaled."""
+    from acoss_tpu.ops.crp_pallas import fused_binary_crp_batch
+    X = rng.random((2, 16, 4)).astype(np.float32)
+    l = np.full(2, 16, np.int32)
+    for bad in (0.0, 1.0, 5.0):
+        with pytest.raises(ValueError):
+            fused_binary_crp_batch(X, X, l, l, kappa=bad, m=1,
+                                   interpret=True)

@@ -198,3 +198,19 @@ def test_wcsmssm_padded_matches_unpadded(rng):
     assert W_pad[m:Lp, :].sum() == 0
     assert W_pad[:, m:Lp].sum() == 0
     assert W_pad[Lp + n:, :].sum() == 0
+
+
+def test_get_wcsm_zero_block_no_nan(rng):
+    """An exactly-zero cross block (degenerate all-zero descriptors)
+    yields affinity 1 with get_W's zero-denominator convention — the
+    reference NaNs here (`SimilarityFusion.py:89` has no guard) and the
+    NaN would silently poison the whole SNF."""
+    C = np.zeros((12, 10), np.float32)
+    W = np.asarray(fusion.get_WCSM(C, 4, 3))
+    assert np.all(np.isfinite(W))
+    np.testing.assert_allclose(W, 1.0)
+
+    # non-degenerate inputs are untouched by the guard
+    C2 = rng.random((15, 11)).astype(np.float32) + 0.1
+    got = np.asarray(fusion.get_WCSM(C2, 4, 3))
+    np.testing.assert_allclose(got, get_wcsm_np(C2, 4, 3), rtol=1e-5)
