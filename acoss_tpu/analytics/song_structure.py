@@ -8,14 +8,42 @@ Euclidean distances compared with a KS test.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.stats import ks_2samp
 
 from acoss_tpu.data.store import FeatureSet
 from acoss_tpu.ops import crp, fusion
-from acoss_tpu.ops.resize import resize
 from acoss_tpu.ops.segment import stack_memory, uniform_downsample
+
+#: per-song matrix sizes are padded up to a multiple of this before the
+#: jitted device calls, so a whole corpus compiles O(few) distinct
+#: programs instead of one per song length (remote compiles are ~35 s in
+#: the tunnel environment; an unpadded per-song loop would spend hours
+#: compiling at covers80 scale)
+_SHAPE_BUCKET = 64
+
+
+@jax.jit
+def _ssm_pair(c, mf):
+    """(npad, dc)/(npad, dm) zero-padded stacked features -> padded
+    SSMs. Zero rows only touch entries outside the valid block, which
+    `snf_padded` masks by length."""
+    return crp.get_ssm(c), crp.get_ssm(mf)
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "niters"))
+def _dna_device(Dstack, n, K, dim, niters=5):
+    """SNF over the valid (n, n) block (n, K traced) + traced-length
+    resize of the fused affinity to (dim, dim)."""
+    from acoss_tpu.ops.structure import resize_dynamic_batch
+
+    fused = fusion.snf_padded(Dstack, K, niters=niters, length=n,
+                              sequential=True)
+    return resize_dynamic_batch(fused[None], jnp.asarray([n]), dim)[0]
 
 
 def _rw_laplacian_eigvals(W: np.ndarray, neigs: int) -> np.ndarray:
@@ -37,19 +65,21 @@ def get_shape_dna(hpcp: np.ndarray, mfcc: np.ndarray,
     Args: hpcp (L, 12) and mfcc (L, 13) frames-first.
     Returns {'w': eigenvalues, 'W': fused+resized affinity}.
     """
-    chroma = uniform_downsample(hpcp, downsample_fac, "median")
-    chroma = stack_memory(chroma, m, 1)
-    DChroma = np.asarray(crp.get_ssm(chroma.astype(np.float32)))
+    chroma = stack_memory(uniform_downsample(hpcp, downsample_fac,
+                                             "median"), m, 1)
     mfcc = np.nan_to_num(mfcc, nan=0.0, posinf=0.0, neginf=0.0)
-    mf = uniform_downsample(mfcc, downsample_fac, "median")
-    mf = stack_memory(mf, m, 1)
-    DMFCC = np.asarray(crp.get_ssm(mf.astype(np.float32)))
-    n = min(DChroma.shape[0], DMFCC.shape[0])
+    mf = stack_memory(uniform_downsample(mfcc, downsample_fac, "median"),
+                      m, 1)
+    n = min(chroma.shape[0], mf.shape[0])
+    npad = -(-max(n, 1) // _SHAPE_BUCKET) * _SHAPE_BUCKET
+    cpad = np.zeros((npad, chroma.shape[1]), np.float32)
+    cpad[:n] = chroma[:n]
+    mpad = np.zeros((npad, mf.shape[1]), np.float32)
+    mpad[:n] = mf[:n]
+    DChroma, DMFCC = _ssm_pair(jnp.asarray(cpad), jnp.asarray(mpad))
     K = max(int(round(n * 0.01)), 2)
-    _, fused = fusion.snf(
-        np.stack([DChroma[:n, :n], DMFCC[:n, :n]]), K=K, niters=5,
-        sequential=True)
-    W = np.asarray(resize(jnp.asarray(fused), (dim, dim)))
+    W = np.asarray(_dna_device(jnp.stack([DChroma, DMFCC]),
+                               jnp.int32(n), jnp.int32(K), dim))
     return {"w": _rw_laplacian_eigvals(W, neigs), "W": W}
 
 

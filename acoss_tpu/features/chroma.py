@@ -54,13 +54,16 @@ def _chroma_stft_jax(y, sr, n_fft, hop_length):
     S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** 2
     fb = jnp.asarray(chroma_filterbank(sr, n_fft))
     raw = jnp.matmul(S, fb.T, precision="highest")   # (n_frames, 12)
-    peak = jnp.max(raw, axis=-1, keepdims=True)      # librosa norm=inf
-    return raw / jnp.where(peak == 0, 1.0, peak)
+    # the reference passes norm=2 (`features.py:162`): each frame
+    # L2-normalized, not peak-normalized
+    nrm = jnp.sqrt(jnp.sum(raw * raw, axis=-1, keepdims=True))
+    return raw / jnp.where(nrm == 0, 1.0, nrm)
 
 
-def chroma_stft(y: np.ndarray, sr: int = 44100, n_fft: int = 2048,
+def chroma_stft(y: np.ndarray, sr: int = 44100, n_fft: int = 4096,
                 hop_length: int = 512) -> np.ndarray:
-    """(n_frames, 12) — parity: `features.py:155-167`."""
+    """(n_frames, 12) — parity: `features.py:155-167` (norm=2,
+    frameSize=4096, tuning=0)."""
     yp, L = bucket_pad_signal(y)
     out = np.asarray(_chroma_stft_jax(jnp.asarray(yp), sr, n_fft,
                                       hop_length))
@@ -151,14 +154,16 @@ def chroma_cens(y: np.ndarray, sr: int = 44100,
 
 def nn_filter(X: np.ndarray, k: int = 10) -> np.ndarray:
     """Nearest-neighbor smoothing (librosa.decompose.nn_filter with cosine
-    affinity): replace each frame by the average of its k most similar
-    frames (used by `chroma_cqt_processed`, `features.py:192-207`)."""
+    affinity): replace each frame by the MEDIAN of its k most similar
+    frames — the reference passes aggregate=np.median
+    (`features.py:202`), the outlier-rejecting point of the denoising
+    step (used by `chroma_cqt_processed`, `features.py:192-207`)."""
     Xn = X / np.maximum(
         np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     sim = Xn @ Xn.T
     np.fill_diagonal(sim, -np.inf)
     idx = np.argsort(-sim, axis=1)[:, :k]
-    return X[idx].mean(axis=1)
+    return np.median(X[idx], axis=1)
 
 
 def chroma_cqt_processed(y: np.ndarray, sr: int = 44100,

@@ -30,7 +30,15 @@ def key_extractor(chroma: np.ndarray) -> dict:
 
     Returns {'key': str, 'scale': 'major'|'minor', 'strength': float}.
     """
-    profile = np.asarray(chroma, dtype=np.float64).mean(axis=0)
+    chroma = np.asarray(chroma, dtype=np.float64)
+    if chroma.size == 0 or not np.all(np.isfinite(chroma)):
+        # audio shorter than one analysis frame (or corrupt values):
+        # refuse to fabricate a key — let batch_extract's error ledger
+        # record the track instead of silently storing {'C', 'major'}
+        raise ValueError(
+            f"key_extractor needs at least one finite chroma frame "
+            f"(got shape {chroma.shape})")
+    profile = chroma.mean(axis=0)
     best = ("C", "major", -np.inf)
     for shift in range(12):
         rolled = np.roll(profile, -shift)

@@ -41,7 +41,9 @@ def _mfcc_htk_jax(y, sr, window_length, hop_length, n_mfcc, n_mels, fmax,
                                     htk=True, norm=None))
     mel = jnp.matmul(spec, fb.T, precision="highest")
     logmel = jnp.log(jnp.maximum(mel, 1e-8))  # silence floor (HTK-style)
-    D = jnp.asarray(dct_matrix(n_mfcc, n_mels, ortho=True))
+    # HTK DCT scaling: uniform sqrt(2/N) incl. C0 (HTK book eq. 5.11 /
+    # essentia dctType=3) — NOT the orthonormal row-0 correction
+    D = jnp.asarray(dct_matrix(n_mfcc, n_mels, htk=True))
     cc = jnp.matmul(logmel, D.T, precision="highest")
     # HTK sinusoidal liftering: c_n *= 1 + (L/2) sin(pi n / L)
     n = jnp.arange(n_mfcc)
@@ -70,11 +72,10 @@ def _mfcc_librosa_jax(y, sr, window_length, hop_length, n_mfcc, n_mels,
     fb = jnp.asarray(mel_filterbank(sr, window_length, n_mels, 0.0, fmax,
                                     htk=False, norm="slaney"))
     X = jnp.matmul(fb, S.T, precision="highest")     # (n_mels, n_frames)
-    # librosa amplitude_to_db: 20 log10(max(X, amin)) - 20 log10(ref=max),
-    # floored at top - 80 dB.
+    # librosa.amplitude_to_db DEFAULTS (`features.py:493` passes none):
+    # ref=1.0 (NOT np.max), amin=1e-5, floored at max - top_db(80)
     amin = 1e-5
     db = 20.0 * jnp.log10(jnp.maximum(X, amin))
-    db = db - 20.0 * jnp.log10(jnp.maximum(jnp.max(X), amin))
     db = jnp.maximum(db, jnp.max(db) - 80.0)
     D = jnp.asarray(dct_matrix(n_mfcc, n_mels, ortho=True))
     cc = jnp.matmul(D, db, precision="highest")

@@ -36,10 +36,22 @@ def _onset_strength_jax(y, sr, n_fft, hop_length, n_mels, max_size, lag):
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     db = jnp.maximum(db, jnp.max(db) - 80.0)
     if max_size > 1:
+        # maximum_filter1d(mode='reflect') along the mel-band axis: the
+        # reflected out-of-bounds samples duplicate in-window values, so
+        # this equals the max over the CLIPPED window — shifts must pad
+        # with -inf, never wrap (a roll would mix band 0 and band n-1)
         r = max_size // 2
         m = db
         for off in range(-r, r + 1):
-            m = jnp.maximum(m, jnp.roll(db, off, axis=1))
+            if off == 0:
+                continue
+            if off > 0:
+                shifted = jnp.pad(db[:, :-off], ((0, 0), (off, 0)),
+                                  constant_values=-jnp.inf)
+            else:
+                shifted = jnp.pad(db[:, -off:], ((0, 0), (0, -off)),
+                                  constant_values=-jnp.inf)
+            m = jnp.maximum(m, shifted)
         ref = m
     else:
         ref = db
@@ -47,7 +59,7 @@ def _onset_strength_jax(y, sr, n_fft, hop_length, n_mels, max_size, lag):
     diff = jnp.maximum(diff, 0.0)
     env = jnp.mean(diff, axis=1)
     # librosa compensates the lag + centering offset: pad at the front
-    pad = 1 + n_fft // (2 * hop_length)
+    pad = lag + n_fft // (2 * hop_length)
     env = jnp.concatenate([jnp.zeros(pad), env])
     return env[:S.shape[0]]
 

@@ -53,7 +53,9 @@ def compute_features(audio: np.ndarray, sr: int = 44100,
     """Per-track features following the reference's h5 schema:
     hpcp (T, 12), crema (T, 12), mfcc_htk (13, T), key_extractor dict,
     madmom_features dict."""
-    features = features or PROFILE["features"]
+    # an explicitly-passed empty list means "extract nothing" — only
+    # None falls back to the default profile
+    features = PROFILE["features"] if features is None else features
     out = {}
     if "hpcp" in features or "key_extractor" in features:
         H = hpcp(audio, sr, hop_length=hop_length)

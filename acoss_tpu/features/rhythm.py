@@ -36,20 +36,16 @@ def _tempogram_jax(padded: jax.Array, win_length: int,
     return ac.T                                            # (win, L)
 
 
-def tempogram(onset_envelope: np.ndarray, win_length: int = 384,
-              sr: int = 44100, hop_length: int = 512) -> np.ndarray:
-    """Local autocorrelation tempogram, (win_length, n_frames).
+def _ramp_pad_envelope(oenv: np.ndarray, win_length: int):
+    """librosa's linear-ramp edge padding + shape-bucket zero padding.
 
-    sr/hop_length are accepted for signature parity with librosa; the
-    autocorrelation itself only depends on the envelope and win_length.
-    """
-    oenv = np.ascontiguousarray(onset_envelope, dtype=np.float32).ravel()
+    Frame t < L only reads the ramped region
+    (t + win - 1 <= L - 1 + 2*half < len(ramped)), so bucketing is
+    exact. Returns (padded, n_frames) with n_frames the bucketed count.
+    ONE definition — the per-song, aggregated, and batch tempogram paths
+    all share this convention."""
     L = oenv.size
     half = win_length // 2
-    # librosa pads with a linear ramp down to 0 at the edges (host side),
-    # then zero-pad to a shape bucket: frame t < L only reads the ramped
-    # region (t + win - 1 <= L - 1 + 2*half < len(ramped)), so bucketing
-    # is exact.
     ramped = np.concatenate([
         np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
         oenv,
@@ -59,6 +55,38 @@ def tempogram(onset_envelope: np.ndarray, win_length: int = 384,
     padded = np.zeros(pad_to + win_length, dtype=np.float32)
     padded[:len(ramped)] = ramped
     n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
+    return padded, n_frames
+
+
+def _segment_prep(oenv: np.ndarray, boundaries, win_length: int):
+    """Shared host prep for the aggregated tempogram paths:
+    (padded, seg_ids, n_frames, nseg_pad, n_seg, counts)."""
+    from acoss_tpu.ops.segment import fix_frames
+
+    L = oenv.size
+    b = fix_frames(boundaries, L)
+    n_seg = len(b) - 1
+    seg_of_frame = np.zeros(L, dtype=np.int32)
+    seg_of_frame[b[1:-1]] = 1
+    seg_of_frame = np.cumsum(seg_of_frame).astype(np.int32)
+    counts = np.diff(b).astype(np.float64)
+    padded, n_frames = _ramp_pad_envelope(oenv, win_length)
+    seg_ids = np.full(n_frames, n_seg, dtype=np.int32)   # pad -> junk seg
+    seg_ids[:L] = seg_of_frame
+    nseg_pad = -(-(n_seg + 1) // 64) * 64                # few static shapes
+    return padded, seg_ids, n_frames, nseg_pad, n_seg, counts
+
+
+def tempogram(onset_envelope: np.ndarray, win_length: int = 384,
+              sr: int = 44100, hop_length: int = 512) -> np.ndarray:
+    """Local autocorrelation tempogram, (win_length, n_frames).
+
+    sr/hop_length are accepted for signature parity with librosa; the
+    autocorrelation itself only depends on the envelope and win_length.
+    """
+    oenv = np.ascontiguousarray(onset_envelope, dtype=np.float32).ravel()
+    L = oenv.size
+    padded, n_frames = _ramp_pad_envelope(oenv, win_length)
     out = np.asarray(_tempogram_jax(jnp.asarray(padded), win_length,
                                     n_frames))
     return out[:, :L]
@@ -84,30 +112,9 @@ def tempogram_aggregated(onset_envelope: np.ndarray,
     Equivalent to `sync_agg(tempogram(env).T, boundaries, "mean")`.
     Returns (n_segments, win_length).
     """
-    from acoss_tpu.ops.segment import fix_frames
-
     oenv = np.ascontiguousarray(onset_envelope, dtype=np.float32).ravel()
-    L = oenv.size
-    b = fix_frames(boundaries, L)
-    n_seg = len(b) - 1
-    seg_of_frame = np.zeros(L, dtype=np.int32)
-    seg_of_frame[b[1:-1]] = 1
-    seg_of_frame = np.cumsum(seg_of_frame).astype(np.int32)
-    counts = np.diff(b).astype(np.float64)
-
-    half = win_length // 2
-    ramped = np.concatenate([
-        np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
-        oenv,
-        np.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
-    ]).astype(np.float32)
-    pad_to = -(-(L + SHAPE_BUCKET) // SHAPE_BUCKET) * SHAPE_BUCKET
-    padded = np.zeros(pad_to + win_length, dtype=np.float32)
-    padded[:len(ramped)] = ramped
-    n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
-    seg_ids = np.full(n_frames, n_seg, dtype=np.int32)   # pad -> junk seg
-    seg_ids[:L] = seg_of_frame
-    nseg_pad = -(-(n_seg + 1) // 64) * 64                # few static shapes
+    padded, seg_ids, n_frames, nseg_pad, n_seg, counts = _segment_prep(
+        oenv, boundaries, win_length)
     sums = np.asarray(_tempogram_segsum_jax(
         jnp.asarray(padded), jnp.asarray(seg_ids), win_length, n_frames,
         nseg_pad))
@@ -122,32 +129,10 @@ def tempogram_aggregated_batch(envelopes: list, boundaries_list: list,
     vmapped device program per group (vs one dispatch per song).
     Numerically identical to the per-song path. Returns the per-song
     (n_segments, win_length) arrays in input order."""
-    from acoss_tpu.ops.segment import fix_frames
-
     preps = []
     for env, bounds in zip(envelopes, boundaries_list):
         oenv = np.ascontiguousarray(env, dtype=np.float32).ravel()
-        L = oenv.size
-        b = fix_frames(bounds, L)
-        n_seg = len(b) - 1
-        seg_of_frame = np.zeros(L, dtype=np.int32)
-        seg_of_frame[b[1:-1]] = 1
-        seg_of_frame = np.cumsum(seg_of_frame).astype(np.int32)
-        counts = np.diff(b).astype(np.float64)
-        half = win_length // 2
-        ramped = np.concatenate([
-            np.linspace(0.0, 1.0, half, endpoint=False) * oenv[0],
-            oenv,
-            np.linspace(1.0, 0.0, half + 1)[1:] * oenv[-1],
-        ]).astype(np.float32)
-        pad_to = -(-(L + SHAPE_BUCKET) // SHAPE_BUCKET) * SHAPE_BUCKET
-        padded = np.zeros(pad_to + win_length, dtype=np.float32)
-        padded[:len(ramped)] = ramped
-        n_frames = -(-L // SHAPE_BUCKET) * SHAPE_BUCKET
-        seg_ids = np.full(n_frames, n_seg, dtype=np.int32)
-        seg_ids[:L] = seg_of_frame
-        nseg_pad = -(-(n_seg + 1) // 64) * 64
-        preps.append((padded, seg_ids, n_frames, nseg_pad, n_seg, counts))
+        preps.append(_segment_prep(oenv, bounds, win_length))
 
     by_shape: dict = {}
     for i, p in enumerate(preps):

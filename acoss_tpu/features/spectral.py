@@ -63,12 +63,21 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
     return fb.astype(np.float32)
 
 
-def dct_matrix(n_out: int, n_in: int, ortho: bool = True) -> np.ndarray:
-    """DCT-II matrix (n_out, n_in); HTK-style MFCCs use the ortho scaling."""
+def dct_matrix(n_out: int, n_in: int, ortho: bool = True,
+               htk: bool = False) -> np.ndarray:
+    """DCT-II matrix (n_out, n_in).
+
+    `ortho` is the orthonormal scaling (librosa.filters.dct: row 0 =
+    1/sqrt(N), rows >= 1 scaled sqrt(2/N)). `htk=True` is the HTK book's
+    convention (eq. 5.11): UNIFORM sqrt(2/N) on every row including C0 —
+    what essentia's 'MFCC the HTK way' recipe computes
+    (`features.py:461` dctType=3); C0 is sqrt(2) larger than ortho's."""
     k = np.arange(n_out)[:, None]
     n = np.arange(n_in)[None, :]
     M = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
-    if ortho:
+    if htk:
+        M *= np.sqrt(2.0 / n_in)
+    elif ortho:
         M *= np.sqrt(2.0 / n_in)
         M[0] *= 1.0 / np.sqrt(2.0)
     return M.astype(np.float32)

@@ -196,3 +196,54 @@ def test_uniform_downsample_batch_matches_per_song(rng):
             ref = uniform_downsample(a, 40, agg)
             assert ref.shape == g.shape
             np.testing.assert_allclose(g, ref, atol=2e-5)
+
+
+def test_chroma_stft_l2_normalized():
+    """Reference passes norm=2 (`features.py:162`): every non-silent
+    frame is L2-normalized, not peak-normalized."""
+    from acoss_tpu.features.chroma import chroma_stft
+    C = chroma_stft(tone(440.0))
+    norms = np.linalg.norm(C, axis=1)
+    live = norms > 0
+    assert live.any()
+    np.testing.assert_allclose(norms[live], 1.0, atol=1e-4)
+
+
+def test_dct_htk_scaling():
+    """HTK's DCT (book eq. 5.11) scales EVERY row by sqrt(2/N) — no
+    orthonormal 1/sqrt(2) on C0 (essentia dctType=3, the reference's
+    'MFCC the HTK way')."""
+    from acoss_tpu.features.spectral import dct_matrix
+    N = 26
+    H = dct_matrix(13, N, htk=True)
+    np.testing.assert_allclose(H[0], np.sqrt(2.0 / N), atol=1e-6)
+    O = dct_matrix(13, N, ortho=True)
+    np.testing.assert_allclose(H[0], O[0] * np.sqrt(2.0), atol=1e-6)
+    np.testing.assert_allclose(H[1:], O[1:], atol=1e-6)
+
+
+def test_onset_strength_lag_padding():
+    """The envelope's front padding is lag + n_fft//(2*hop): with lag=2
+    the envelope must stay hop-aligned (same length as lag=1) and the
+    extra zero frame appears at the front."""
+    from acoss_tpu.features.onsets import onset_strength
+    y = tone(220.0)
+    e1 = onset_strength(y, lag=1)
+    e2 = onset_strength(y, lag=2)
+    assert e1.shape == e2.shape
+    pad1 = 1 + 2048 // (2 * 512)
+    assert np.all(e2[:pad1 + 1] == 0.0)   # lag=2 pads one more zero
+
+
+def test_key_extractor_rejects_empty():
+    from acoss_tpu.features.key import key_extractor
+    with pytest.raises(ValueError):
+        key_extractor(np.zeros((0, 12), np.float32))
+
+
+def test_compute_features_empty_list():
+    """An explicitly-empty feature list extracts nothing (must not fall
+    back to the full default profile)."""
+    from acoss_tpu.features.pipeline import compute_features
+    out = compute_features(tone(440.0, dur=0.5), features=[])
+    assert out == {}
