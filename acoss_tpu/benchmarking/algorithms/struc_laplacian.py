@@ -84,13 +84,10 @@ class StrucLaplacian(CoverAlgorithm):
         s = s[:self.neigs]
         s = s / max(s[0], 1e-12)
         X = U[:, :self.neigs] * s[None, :]
-        curvs = np.array(get_curv_vectors(X, 3, 2))   # (4, n, d)
-        prof = np.sqrt(np.sum(curvs ** 2, axis=2)).T  # (n, 4)
-        prof = prof[:, 1]                              # velocity magnitude
-        if prof.size < self.m:
-            return np.zeros((1, self.m), dtype=np.float32)
-        return np.asarray(
-            crp.sliding_window(prof[:, None], self.m), dtype=np.float32)
+        # same curvature -> velocity profile -> sliding window as the
+        # batched path (verified elementwise-identical: sliding_window
+        # == the stacked-offset construction)
+        return self._profile_from_curve(X)
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
         """Batched: fused W + eigenvectors + spectral k-means + meet

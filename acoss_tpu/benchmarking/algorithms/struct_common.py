@@ -49,41 +49,21 @@ def structural_fused_w(
 
     Returns (WFused (n, n) np.float32, onsets (n,) int64).
     """
-    clen = fs.length(chroma_type)[i]
-    mlen = fs.length("mfcc_htk")[i]
-    hpcp = fs.feature(chroma_type)[i, :clen]
-    mfcc = np.nan_to_num(fs.feature("mfcc_htk")[i, :mlen],
-                         nan=0.0, posinf=0.0, neginf=0.0)
-    snovfn = fs.feature("snovfn")[i, :fs.length("snovfn")[i], 0]
-    if do_sync:
-        olen = fs.length("onsets")[i]
-        onsets = fs.feature("onsets")[i, :olen, 0].astype(np.int64)
-    else:
-        onsets = np.arange(0, mfcc.shape[0], downsample_fac)
-
-    def prep(x, agg):
-        y = sync_agg(x, onsets, agg)
-        y = np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
-        return stack_memory(y, wins_per_block, 1).astype(np.float32)
-
+    # same load/sync/nan-cleanup as the batched path — ONE definition
+    # (_prep_base_features); stacked-then-cropped equals cropped-then-
+    # stacked because the delay embedding only looks backward (verified:
+    # stack_memory(y[:n]) == stack_memory(y)[:n] elementwise)
+    base, onsets, n = _prep_base_features(
+        fs, i, chroma_type, do_sync, downsample_fac, fuse_features,
+        tempogram_win)
     Ds = []
     for name in fuse_features:
-        if name == "mfcc":
-            Ds.append(np.asarray(crp.get_ssm(prep(mfcc, "mean"))))
-        elif name == "hpcp":
-            h = prep(hpcp, "median")
-            Ds.append(np.asarray(crp.get_csm_cosine(h, h)))
-        elif name == "tempogram":
-            # mean beat-sync fused into the device tempogram program (the
-            # full (L, win) tempogram never crosses the host boundary)
-            tg_sync = tempogram_aggregated(snovfn, onsets, tempogram_win)
-            tg_sync = np.nan_to_num(tg_sync, nan=0.0, posinf=0.0,
-                                    neginf=0.0)
-            st = stack_memory(tg_sync, wins_per_block, 1).astype(np.float32)
-            Ds.append(np.asarray(crp.get_ssm(st)))
+        st = stack_memory(base[name], wins_per_block, 1).astype(
+            np.float32)
+        if name == "hpcp":
+            Ds.append(np.asarray(crp.get_csm_cosine(st, st)))
         else:
-            raise ValueError(name)
-    n = min(D.shape[0] for D in Ds)
+            Ds.append(np.asarray(crp.get_ssm(st)))
     pK = autotune_k(K, n)
     # Bucket-pad the fusion input so a whole corpus compiles O(few) jitted
     # SNF shapes (per-song n would otherwise recompile the diffusion scan

@@ -145,7 +145,18 @@ class _TileSweeper:
             for k in self.sim_types:
                 fn = os.path.join(scores_dir, f"{k}.npy")
                 if os.path.exists(fn):
-                    self.Ds[k] = np.lib.format.open_memmap(fn, mode="r+")
+                    m = np.lib.format.open_memmap(fn, mode="r+")
+                    if m.shape != (n_songs, n_songs) or \
+                            m.dtype != np.float32:
+                        # a scores_dir reused across corpora would
+                        # silently mix stale and new scores (or die
+                        # mid-sweep on an IndexError)
+                        raise ValueError(
+                            f"{fn} holds a {m.dtype} {m.shape} matrix "
+                            f"but this sweep needs float32 "
+                            f"({n_songs}, {n_songs}); delete the "
+                            f"scores_dir or use a fresh one")
+                    self.Ds[k] = m
                 else:
                     self.Ds[k] = np.lib.format.open_memmap(
                         fn, mode="w+", dtype=np.float32,
@@ -448,6 +459,17 @@ def _split_desc_buckets(desc: dict, edges: np.ndarray,
     out = []
     for b in range(len(edges) - 1):
         lo, hi = int(edges[b]), int(edges[b + 1])
+        # Content truncation alone is unsound: a song's trailing VALID
+        # frames can be all-zero (silence -> zero chroma/mfcc), and in
+        # the plain sweep those zero frames are real kNN candidates the
+        # tile kernels see. Bound the truncation from below by every
+        # integer per-song length in the bucket that could index axis 1.
+        len_maxes = []
+        for v in desc.values():
+            a = np.asarray(v[lo:hi])
+            if a.ndim == 1 and np.issubdtype(a.dtype, np.integer) \
+                    and a.size:
+                len_maxes.append(int(a.max()))
         d = {}
         for k, v in desc.items():
             s = v[lo:hi]
@@ -461,6 +483,8 @@ def _split_desc_buckets(desc: dict, edges: np.ndarray,
                     colmask = np.asarray(s != 0).any(axis=axes)
                 nz = np.flatnonzero(colmask)
                 width = int(nz[-1]) + 1 if nz.size else 1
+                width = max([width] + [m for m in len_maxes
+                                       if m <= s.shape[1]])
                 width = min(-(-width // round_to) * round_to, s.shape[1])
                 s = s[:, :width]
             d[k] = s
@@ -658,14 +682,13 @@ def run_pairwise_bucketed(
     ret = [Ds]
     if return_desc:
         order = np.arange(n) if sorted_order else inv
-        keys = None
-        if stream_dir is not None:
-            # disk-store buckets: merge only the small keys into RAM
-            # (post_process hooks read lengths/global vectors, never the
-            # bulk descriptors — e.g. ChenFusion's `length`,
-            # `ChenFusion.py:71-80`)
-            keys = [k for k, v in descs[0].items()
-                    if v[:1].nbytes <= 65536]
+        # merge only the small keys into RAM: post_process hooks read
+        # lengths/global vectors, never the bulk descriptors (e.g.
+        # ChenFusion's `length`, `ChenFusion.py:71-80`). Pulling a
+        # device-resident ssms corpus host-side here would cost minutes
+        # of D2H for data nobody reads.
+        keys = [k for k, v in descs[0].items()
+                if v[:1].nbytes <= 65536]
         ret.append(_merge_bucket_descs(descs, order, keys=keys))
     if return_perm:
         ret.append(perm)

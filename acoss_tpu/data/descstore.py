@@ -127,6 +127,17 @@ def extract_streamed(algorithm, fs, store_path: str,
     stay exact. Opt-in: full-precision parity paths must leave it off.
     """
     n = fs.n_songs
+    # extract_streamed always builds the store from scratch (there is no
+    # chunk-level resume), so clear any pre-existing memmaps: debris from
+    # an interrupted prior run has stale widths/dtypes that ensure()
+    # would silently reopen — the re-run would then die with 'chunk
+    # wider than store' AFTER re-extracting the whole corpus, or produce
+    # wrong-width descriptors. (Callers that want reuse check for META
+    # and DescriptorStore.open() instead, as the CLI does.)
+    if os.path.isdir(store_path):
+        for fn in os.listdir(store_path):
+            if fn.endswith(".npy") or fn == DescriptorStore.META:
+                os.remove(os.path.join(store_path, fn))
     tmp_dir = store_path + ".chunks"
     os.makedirs(tmp_dir, exist_ok=True)
     widths: dict = {}

@@ -81,11 +81,26 @@ def run_process_shard(
     per similarity type) written in place by the sweep — no dense
     partial ever sits in RAM, the Da-TACOS-scale mode."""
     tile = tile or algorithm.TILE
+    os.makedirs(out_dir, exist_ok=True)
+    stem = f"{algorithm.NAME}_part_{process_id}_{num_processes}"
+    if algorithm.full_scores is not None:
+        # One-shot scorers (FTM2D, ANFScattering, Struc* Grams) compute
+        # the whole matrix in one call — there are no tiles to shard.
+        # Process 0 computes it as its partial; the other shards write
+        # an EMPTY partial so the merge stays uniform. (Previously every
+        # shard computed the full matrix: merge scatter-added
+        # num_processes copies, and memmap_scores crashed on flush.)
+        path = os.path.join(out_dir, stem + ".npz")
+        if process_id == 0:
+            Ds = run_pairwise(algorithm, desc, n_songs, tile=tile,
+                              verbose=verbose)
+            np.savez(path, **{f"D::{k}": v for k, v in Ds.items()})
+        else:
+            np.savez(path)
+        return path
     n_tiles = -(-n_songs // tile)
     mine = set(assign_block_rows(n_tiles, num_processes,
                                  algorithm.SYMMETRIC)[process_id].tolist())
-    os.makedirs(out_dir, exist_ok=True)
-    stem = f"{algorithm.NAME}_part_{process_id}_{num_processes}"
     scores_dir = os.path.join(out_dir, stem) if memmap_scores else None
     Ds = run_pairwise(algorithm, desc, n_songs, tile=tile, verbose=verbose,
                       tile_filter=lambda ti, tj: ti in mine,

@@ -96,3 +96,31 @@ def test_completed_resume_streams_nothing(tmp_path, monkeypatch):
     assert calls["n"] == 0
     np.testing.assert_allclose(np.asarray(D["main"]),
                                np.asarray(full["main"]), atol=1e-6)
+
+
+def test_process_shard_full_scores_algorithm(tmp_path):
+    """One-shot (full_scores) algorithms cannot be tile-sharded: process
+    0 computes the whole matrix, other shards contribute EMPTY partials,
+    and the merge equals the single-process result (previously every
+    shard computed the full matrix and the merge summed N copies)."""
+    from acoss_tpu.parallel.distributed import (merge_partials,
+                                                run_process_shard)
+
+    class FullAlg(DotAlg):
+        NAME = "FullDot"
+
+        def full_scores(self, desc):
+            v = np.asarray(desc["vec"], np.float64)
+            return {"main": (v @ v.T).astype(np.float32)}
+
+    fs = _fake_fs(10)
+    alg = FullAlg()
+    desc = alg.extract_descriptors(fs)
+    from acoss_tpu.benchmarking.harness import run_pairwise as rp
+    ref = rp(alg, desc, 10)
+
+    paths = [run_process_shard(alg, desc, 10, p, 3, str(tmp_path))
+             for p in range(3)]
+    Ds = merge_partials(paths, symmetric=alg.SYMMETRIC)
+    np.testing.assert_allclose(np.asarray(Ds["main"]),
+                               np.asarray(ref["main"]), atol=1e-6)
