@@ -33,6 +33,25 @@ def _load_featureset(datapath: str):
     return FeatureSet.load(datapath)
 
 
+def _check_store_half(desc: dict, want_half: bool, path: str) -> None:
+    """A reused descriptor store must match the requested precision
+    mode: silently feeding an fp16 store to a full-precision parity run
+    violates `--stream-half`'s own contract ('not for full-precision
+    parity runs'). The reverse direction only forfeits the throughput
+    win, so it just notes it."""
+    import numpy as np
+
+    has_half = any(getattr(v, "dtype", None) == np.float16
+                   for v in desc.values())
+    if has_half and not want_half:
+        raise SystemExit(
+            f"{path} holds float16 descriptors but --stream-half was not"
+            f" passed; delete the store or rerun with --stream-half")
+    if want_half and not has_half:
+        print(f"note: --stream-half requested but {path} is full "
+              f"precision; reusing it as-is", file=sys.stderr)
+
+
 def _eval_and_report(algo, Ds, desc, fs, csv):
     from acoss_tpu.benchmarking.evaluation import (eval_statistics,
                                                    write_results_csv)
@@ -94,6 +113,31 @@ def _cmd_benchmark_inner(args) -> int:
             print(f"no partial files under {args.partial_dir}",
                   file=sys.stderr)
             return 1
+        # Shard-set validation: the stems encode pid/nproc
+        # (NAME_part_<pid>_<nproc>). A missing shard would silently
+        # zero its block-rows in the merged matrices; a stale partial
+        # from a different-nproc run would double-add tiles.
+        import re as _re
+
+        tags = []
+        for p in paths:
+            m = _re.search(r"_part_(\d+)_(\d+)(?:\.npz)?$", p)
+            if not m:
+                print(f"unrecognized partial name {p}", file=sys.stderr)
+                return 1
+            tags.append((int(m.group(1)), int(m.group(2))))
+        nprocs = {t[1] for t in tags}
+        if len(nprocs) != 1:
+            print(f"partials from different shardings {sorted(nprocs)} "
+                  f"in {args.partial_dir}; clean out stale runs",
+                  file=sys.stderr)
+            return 1
+        nproc = nprocs.pop()
+        missing = set(range(nproc)) - {t[0] for t in tags}
+        if missing:
+            print(f"missing shard(s) {sorted(missing)} of {nproc}; "
+                  f"rerun them before merging", file=sys.stderr)
+            return 1
         print(f"merging {len(paths)} partials")
         out_dir = (os.path.join(args.stream_dir, "merged")
                    if args.stream_dir else None)
@@ -121,6 +165,15 @@ def _cmd_benchmark_inner(args) -> int:
         # a partial file; a later --merge run aggregates and evaluates.
         from acoss_tpu.parallel.distributed import run_process_shard
 
+        if not 0 <= args.process_id < args.num_processes:
+            # schedulers often hand out 1-BASED task ids; failing fast
+            # here beats an IndexError deep in the shard assignment (and
+            # a merge that would silently zero shard 0's block-rows)
+            print(f"--process-id must be in [0, {args.num_processes}) — "
+                  f"got {args.process_id}; task ids are 0-based here",
+                  file=sys.stderr)
+            return 1
+
         # with --stream-dir, descriptors come from the disk store and the
         # partial is a directory of .npy memmaps (nothing dense in RAM)
         if args.stream_dir:
@@ -131,6 +184,7 @@ def _cmd_benchmark_inner(args) -> int:
             meta = os.path.join(desc_path, DescriptorStore.META)
             if os.path.exists(meta):
                 desc = DescriptorStore.open(desc_path)
+                _check_store_half(desc, args.stream_half, desc_path)
             elif args.process_id == 0:
                 # exactly ONE process may build the shared store
                 # (concurrent extract_streamed calls would race on the
@@ -145,10 +199,19 @@ def _cmd_benchmark_inner(args) -> int:
             else:
                 import time as _time
 
+                # generous deadline: a Da-TACOS-scale extraction takes
+                # hours, but if process 0 died the other N-1 shards must
+                # eventually FAIL, not hang an array job forever
+                deadline = _time.time() + 24 * 3600.0
                 print(f"waiting for process 0 to build {desc_path} ...")
                 while not os.path.exists(meta):
+                    if _time.time() > deadline:
+                        print(f"gave up waiting for {meta} after 24 h — "
+                              f"did process 0 die?", file=sys.stderr)
+                        return 1
                     _time.sleep(5.0)
                 desc = DescriptorStore.open(desc_path)
+                _check_store_half(desc, args.stream_half, desc_path)
         else:
             desc = algo.extract_descriptors(fs)
         if args.hybrid_panel:
@@ -231,6 +294,7 @@ def _cmd_benchmark_inner(args) -> int:
         if os.path.exists(os.path.join(desc_path, DescriptorStore.META)):
             print(f"reusing descriptor store {desc_path}")
             desc = DescriptorStore.open(desc_path)
+            _check_store_half(desc, args.stream_half, desc_path)
         else:
             desc = extract_streamed(algo, fs, desc_path,
                                     chunk_songs=args.stream_chunk,

@@ -27,7 +27,13 @@ def _build() -> None:
         "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
         _SRC, "-o", _SO,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        # surface the compiler diagnostic — a bare CalledProcessError
+        # ('exit status 1') from an implicit mid-benchmark build is
+        # undebuggable
+        raise RuntimeError(
+            f"native build failed ({' '.join(cmd)}):\n{r.stderr}")
 
 
 def get_lib() -> ctypes.CDLL:

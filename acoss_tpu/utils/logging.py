@@ -16,17 +16,22 @@ def get_logger(name: str = "acoss_tpu",
                logfile: str | None = None) -> logging.Logger:
     """Timestamped file+console logger (`utils.py:16-28`)."""
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if logfile:
-        fh = logging.FileHandler(logfile)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        # honor a logfile request even when the logger already exists
+        # (e.g. the timeit decorator created it console-only earlier) —
+        # but never attach the same file twice
+        attached = {getattr(h, "baseFilename", None)
+                    for h in logger.handlers}
+        if os.path.abspath(logfile) not in attached:
+            fh = logging.FileHandler(logfile)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
@@ -49,8 +54,13 @@ class ErrorFile:
         self.path = path
 
     def add(self, track: str, error: str = "") -> None:
+        # one ledger ROW per failure: interior newlines/tabs (the
+        # natural payload is a multi-line traceback) are flattened so
+        # tracks() never returns traceback fragments as track names
+        error = " | ".join(ln for ln in error.splitlines() if ln.strip())
+        track = str(track).replace("\t", " ").replace("\n", " ")
         with open(self.path, "a") as f:
-            f.write(f"{track}\t{error}\n".replace("\n\n", "\n"))
+            f.write(f"{track}\t{error.replace(chr(9), ' ')}\n")
 
     def tracks(self) -> list[str]:
         if not os.path.exists(self.path):

@@ -28,7 +28,11 @@ import jax
 
 
 class StageTimes:
-    """Accumulating per-stage wall timings."""
+    """Accumulating per-stage wall timings.
+
+    Gated by `enabled` (set by the CLI's --stage-times and by the bench
+    scripts): when off, stage() is a no-op context so non-profiled runs
+    pay nothing per stage."""
 
     def __init__(self):
         self.enabled = False
@@ -41,6 +45,9 @@ class StageTimes:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        if not self.enabled:
+            yield
+            return
         t0 = time.perf_counter()
         try:
             yield

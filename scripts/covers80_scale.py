@@ -80,6 +80,7 @@ def main():
 
     from acoss_tpu.utils.profiling import stages
 
+    stages.enabled = bool(args.stage_times)
     for name in args.algorithms:
         alg = algos[name]()
         stages.reset()

@@ -130,7 +130,10 @@ def main() -> int:
         elif os.path.exists(p):
             os.remove(p)
     done = np.ones((n_tiles, n_tiles), dtype=bool)
-    lim = args.panels * tiles_per_panel
+    # clamp to the actual grid: a corpus smaller than `panels` panels
+    # would otherwise overstate n_swept (and understate s/tile + the 15k
+    # extrapolation) by counting rows that don't exist
+    lim = min(args.panels * tiles_per_panel, n_tiles)
     done[:lim, :] = False
     np.savez(ckpt, done=done, tile=args.tile, n_songs=n,
              hybrid_panel=-(-args.panel_songs // args.tile) * args.tile)

@@ -112,6 +112,14 @@ def synth_rows(n, rng, cols, probs, nnz_row, fresh_per_row=0, dim=0):
     for _ in range(n):
         draw = rng.choice(cols, size=int(k_dist * 1.3), p=probs)
         u = np.unique(draw)
+        # top-up: in the concentrated regime the with-replacement draw
+        # collapses under unique(); under-filled rows would understate
+        # nnz and the SpGEMM cost the script exists to measure
+        tries = 0
+        while u.size < k_dist and tries < 50:
+            extra = rng.choice(cols, size=k_dist - u.size, p=probs)
+            u = np.union1d(u, extra)
+            tries += 1   # bounded: the distribution may have < k atoms
         if u.size >= k_dist:
             u = u[rng.permutation(u.size)[:k_dist]]
         if fresh_per_row:

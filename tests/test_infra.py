@@ -114,6 +114,7 @@ def test_profiling_stage_times_and_trace(tmp_path):
     from acoss_tpu.utils import profiling
 
     st = profiling.StageTimes()
+    st.enabled = True          # stage() is a no-op context when disabled
     with st.stage("a"):
         st.block(jnp.ones(8) * 2)
     with st.stage("a"):
@@ -132,3 +133,45 @@ def test_profiling_stage_times_and_trace(tmp_path):
     assert os.path.isdir(logdir) and os.listdir(logdir)
     with profiling.device_trace(None):   # no-op path
         pass
+
+
+def test_stage_times_disabled_noop():
+    from acoss_tpu.utils import profiling
+
+    st = profiling.StageTimes()
+    with st.stage("x"):
+        pass
+    assert not st.total and not st.count
+
+
+def test_errorfile_multiline_errors(tmp_path):
+    """A traceback payload must stay ONE ledger row; tracks() never
+    returns traceback fragments as track names."""
+    from acoss_tpu.utils.logging import ErrorFile
+
+    ef = ErrorFile(str(tmp_path / "err.txt"))
+    ef.add("song_a.mp3", "Traceback (most recent call last):\n"
+           "  File \"x.py\", line 1\nValueError: boom")
+    ef.add("song_b.mp3", "short")
+    assert ef.tracks() == ["song_a.mp3", "song_b.mp3"]
+
+
+def test_get_logger_late_logfile(tmp_path):
+    """A logfile request after the logger already exists (console-only)
+    still attaches the file handler — once."""
+    import logging as _logging
+
+    from acoss_tpu.utils.logging import get_logger
+
+    name = "acoss_tpu_test_late"
+    get_logger(name)                       # console-only first
+    lf = str(tmp_path / "run.log")
+    lg = get_logger(name, logfile=lf)
+    lg.info("hello")
+    get_logger(name, logfile=lf)           # no duplicate handler
+    n_file = sum(isinstance(h, _logging.FileHandler)
+                 for h in lg.handlers)
+    assert n_file == 1
+    for h in lg.handlers:
+        h.flush()
+    assert "hello" in open(lf).read()
