@@ -124,3 +124,39 @@ def test_process_shard_full_scores_algorithm(tmp_path):
     Ds = merge_partials(paths, symmetric=alg.SYMMETRIC)
     np.testing.assert_allclose(np.asarray(Ds["main"]),
                                np.asarray(ref["main"]), atol=1e-6)
+
+
+def test_bucket_truncation_keeps_valid_zero_frames():
+    """A song whose trailing VALID frames are all-zero (e.g. silence ->
+    zero features) must not be truncated below its length: those zero
+    frames are real kNN candidates the plain sweep sees, and the
+    bucketed sweep must score identically."""
+    from acoss_tpu.benchmarking.harness import _split_desc_buckets
+
+    rng = np.random.default_rng(0)
+    n, L, d = 8, 200, 4
+    feats = rng.random((n, L, d)).astype(np.float32)
+    lengths = np.full(n, L, np.int32)
+    feats[:, 150:] = 0.0            # valid frames 150..199 are zero
+    desc = {"vec": feats, "length": lengths}
+    (bucket,) = _split_desc_buckets(desc, np.array([0, n]))
+    assert bucket["vec"].shape[1] >= L
+
+
+def test_extract_streamed_clears_stale_store(tmp_path):
+    """Debris from an interrupted extraction (memmaps without META) must
+    not be reopened with stale widths."""
+    import os
+
+    from acoss_tpu.data.descstore import DescriptorStore, extract_streamed
+    from tests.test_descstore import RaggedAlg
+
+    fs = _fake_fs(12)
+    path = str(tmp_path / "store")
+    # fake an interrupted run: a too-narrow memmap, no META
+    os.makedirs(path)
+    np.lib.format.open_memmap(os.path.join(path, "vec.npy"), mode="w+",
+                              dtype=np.float32, shape=(12, 2))
+    desc = extract_streamed(RaggedAlg(), fs, path, chunk_songs=5)
+    assert desc["vec"].shape[1] > 2   # real widths, not the stale memmap
+    assert os.path.exists(os.path.join(path, DescriptorStore.META))
