@@ -281,10 +281,14 @@ def qmax_batch_best(S, m_len, n_len, gap_onset: float = 0.5,
     # (mask-free phantom cells compute max(pre - gap, 0): a negative gap
     # would GROW them past valid scores) — out of range falls back to
     # the length-masked XLA scan.
-    if gap_onset == gap_extension and gap_onset >= 0.0 and pallas:
+    if pallas and gap_onset >= 0.0 and gap_extension >= 0.0:
         from acoss_tpu.ops import alignment_pallas
-        return alignment_pallas.qmax_batch_pallas(
-            S, m_len, n_len, gap=gap_onset, interpret=interp)
+        if gap_onset == gap_extension:
+            return alignment_pallas.qmax_batch_pallas(
+                S, m_len, n_len, gap=gap_onset, interpret=interp)
+        return alignment_pallas.qmax_batch_pallas_uneq(
+            S, m_len, n_len, gap_onset=gap_onset,
+            gap_extension=gap_extension, interpret=interp)
     return qmax_batch(S, m_len, n_len, gap_onset=gap_onset,
                       gap_extension=gap_extension)
 

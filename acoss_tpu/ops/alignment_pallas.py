@@ -39,9 +39,14 @@ dmax/qmax gap is the 5-path recurrence's inherent VPU work, not rolls):
   can never raise the max (dmax needs gap <= 1.0 for this — see wrapper).
   The running max is a (N, BB) vector reduced once at the end.
 
-Gap penalties are compile-time constants with gap_onset == gap_extension
-(the reference's values, `SequenceAlignment.c:104-111`); the unequal-gap
-variant falls back to the XLA scan path.
+Gap penalties are compile-time constants. gap_onset == gap_extension
+(the reference's values, `SequenceAlignment.c:104-111`) uses the fused
+const-gap kernels; unequal non-negative gaps (the legacy
+`similarity.py` parameter surface) use `_qmax_kernel_uneq`, which
+carries the state-dependent gamma rows alongside the DP rows. dmax with
+unequal gaps falls back to the XLA scan (its 5-path S-accumulating
+carries don't compose with per-predecessor penalties without giving up
+the running-sum trick; no reference algorithm uses that combination).
 """
 
 from __future__ import annotations
@@ -87,6 +92,57 @@ def _qmax_kernel(T, gap, s_ref, out_ref, A1, B1, bestv):
 
     (A1[:], B1[:], bestv[:]) = jax.lax.fori_loop(
         0, T // _UNROLL, body, (A1[:], B1[:], bestv[:]))
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = jnp.max(bestv[:], axis=0, keepdims=True)[None]
+
+
+def _qmax_kernel_uneq(T, go, ge, s_ref, out_ref, A1, B1, GA1, GB1, bestv):
+    """Unequal-gap qmax (gap_onset != gap_extension): the gap branch
+    subtracts the PREDECESSOR cell's state-dependent penalty
+    gamma = gap_onset if that cell's S was a match else gap_extension
+    (`SequenceAlignment.c:104-111` generalized; exact parity target is
+    `alignment.qmax_batch`'s unequal-gap scan). Carries the D rows AND
+    the gamma rows pre-shifted (ga1 = roll(gamma[i-1], 1),
+    gb1 = roll(gamma[i-2], 1)); the fused `(1+gap)*S - gap` trick of the
+    const-gap kernel doesn't apply, so the branch is an explicit select.
+    Padding decay: phantom cells take the gap branch with penalties
+    >= 0, so they can only hold or decay valid scores (wrapper guards
+    go, ge >= 0)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        z = jnp.zeros_like(bestv)
+        for ref in (A1, B1, GA1, GB1, bestv):
+            ref[:] = z
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, bestv.shape, 0)
+    colbias = jnp.where(ii >= 2, 0.0, -_BIG)
+
+    def row(k, carry):
+        a1, b1, ga1, gb1, bv = carry
+        sd = s_ref[0, k].astype(jnp.int32).astype(jnp.float32)
+        a2 = pltpu.roll(a1, 1, 0)
+        ga2 = pltpu.roll(ga1, 1, 0)
+        match = jnp.maximum(jnp.maximum(a1, b1), a2) + 1.0
+        gap = jnp.maximum(jnp.maximum(a1 - ga1, b1 - gb1), a2 - ga2)
+        rowbias = jnp.where(t * T + k >= 2, 0.0, -_BIG)
+        Dd = jnp.maximum(
+            jnp.where(sd > 0, match, gap) + (colbias + rowbias), 0.0)
+        gd = jnp.where(sd > 0, go, ge)
+        return (pltpu.roll(Dd, 1, 0), a1, pltpu.roll(gd, 1, 0), ga1,
+                jnp.maximum(bv, Dd))
+
+    def body(kk, carry):
+        for u in range(_UNROLL):
+            carry = row(kk * _UNROLL + u, carry)
+        return carry
+
+    (A1[:], B1[:], GA1[:], GB1[:], bestv[:]) = jax.lax.fori_loop(
+        0, T // _UNROLL, body,
+        (A1[:], B1[:], GA1[:], GB1[:], bestv[:]))
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -245,6 +301,30 @@ def qmax_batch_pallas(S, m_len, n_len, gap: float = 0.5,
             f"qmax_batch_pallas requires gap >= 0 (got {gap}); use "
             "alignment.qmax_batch for negative gaps")
     return _run(functools.partial(_qmax_kernel, block_t, gap), 3,
+                S, m_len, n_len, 3, block_b, block_t, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_onset", "gap_extension", "block_b", "block_t",
+                     "interpret"))
+def qmax_batch_pallas_uneq(S, m_len, n_len, gap_onset: float,
+                           gap_extension: float, block_b: int = 128,
+                           block_t: int = 64, interpret: bool = False):
+    """Batched qmax with UNEQUAL gap penalties (the legacy
+    `serra_cover_similarity_measures(disOnset, disExtension)` parameter
+    surface, `preprocess/similarity.py:111`). Semantics identical to
+    `alignment.qmax_batch(gap_onset, gap_extension)`.
+
+    Requires gap_onset >= 0 and gap_extension >= 0 (padding decay —
+    see `_qmax_kernel_uneq`); out of range falls back to the scan via
+    `alignment.qmax_batch_best`."""
+    if gap_onset < 0.0 or gap_extension < 0.0:
+        raise ValueError(
+            f"qmax_batch_pallas_uneq requires non-negative gaps (got "
+            f"{gap_onset}, {gap_extension}); use alignment.qmax_batch")
+    return _run(functools.partial(_qmax_kernel_uneq, block_t,
+                                  gap_onset, gap_extension), 5,
                 S, m_len, n_len, 3, block_b, block_t, interpret)
 
 

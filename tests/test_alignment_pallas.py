@@ -72,3 +72,41 @@ def test_sw_pallas_ragged(rng):
     want = [oracles.swconstrained_np(S[b, :m, :n])
             for b, (m, n) in enumerate(sizes)]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("go,ge", [(0.4, 0.8), (0.8, 0.4), (0.0, 0.7)])
+def test_qmax_uneq_pallas_vs_oracle(rng, go, ge):
+    """Unequal-gap qmax kernel vs the numpy oracle, incl. ragged padding
+    (phantom cells must only hold/decay under state-dependent gamma)."""
+    M = N = 40
+    sizes = [(40, 40), (31, 36), (17, 23), (2, 10), (40, 33), (25, 25)]
+    S = np.zeros((len(sizes), M, N), dtype=np.uint8)
+    for b, (m, n) in enumerate(sizes):
+        S[b, :m, :n] = random_crp(rng, m, n)
+    ml = np.array([s[0] for s in sizes])
+    nl = np.array([s[1] for s in sizes])
+    got = np.asarray(alignment_pallas.qmax_batch_pallas_uneq(
+        S, ml, nl, gap_onset=go, gap_extension=ge,
+        block_b=4, block_t=8, interpret=True))
+    want = [oracles.qmax_np(S[b, :m, :n], go=go, ge=ge)
+            for b, (m, n) in enumerate(sizes)]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_qmax_uneq_dispatch(rng):
+    """qmax_batch_best routes unequal non-negative gaps to the Pallas
+    kernel and negative gaps to the masked scan."""
+    from acoss_tpu.ops import alignment
+    S = np.zeros((2, 32, 32), np.uint8)
+    S[0, :30, :28] = random_crp(rng, 30, 28)
+    S[1, :32, :32] = random_crp(rng, 32, 32)
+    ml, nl = np.array([30, 32]), np.array([28, 32])
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        got = np.asarray(alignment.qmax_batch_best(
+            S, ml, nl, gap_onset=0.3, gap_extension=0.9))
+    finally:
+        alignment.set_alignment_impl(prev)
+    want = [oracles.qmax_np(S[0, :30, :28], go=0.3, ge=0.9),
+            oracles.qmax_np(S[1], go=0.3, ge=0.9)]
+    np.testing.assert_allclose(got, want, atol=1e-4)
