@@ -41,13 +41,21 @@ def key_table(fs: FeatureSet, chroma_type: str = "hpcp") -> pd.DataFrame:
     `coverstats.py:44-58`)."""
     def extract(fs, i):
         chroma = fs.feature(chroma_type)[i, :fs.length(chroma_type)[i]]
-        res = key_extractor(chroma)
-        res["track_id"] = str(fs.track_ids[i])
+        try:
+            res = key_extractor(chroma)
+        except ValueError:
+            # degenerate track (empty / non-finite chroma):
+            # key_extractor refuses to fabricate a key; drop the track
+            # from the table instead of aborting the whole study
+            res = None
+        if res is not None:
+            res["track_id"] = str(fs.track_ids[i])
         return res
 
     pairs = get_cover_pairs(fs, extract)
     rows, index = [], []
     for label, members in pairs.items():
+        members = [m for m in members if m is not None]
         if len(members) < 2:
             continue
         s1, s2 = members[0], members[1]

@@ -193,7 +193,12 @@ class _TileSweeper:
         # finalize() re-mirrors.
         if scores_dir is not None and self.symmetric:
             flag = os.path.join(scores_dir, "symmetrized.flag")
-            if os.path.exists(flag) and not self.done.all():
+            # only the tiles a symmetric sweep actually enumerates count
+            # as work: strict-upper ledger entries are never set, so
+            # done.all() would be unreachable and the flag would be
+            # dropped (and the matrices re-mirrored) on EVERY resume
+            pending = ~self.done[np.tril_indices(n_tiles)]
+            if os.path.exists(flag) and pending.any():
                 os.remove(flag)
 
         self._row_idx = np.arange(tile)
@@ -462,10 +467,15 @@ def _split_desc_buckets(desc: dict, edges: np.ndarray,
         # Content truncation alone is unsound: a song's trailing VALID
         # frames can be all-zero (silence -> zero chroma/mfcc), and in
         # the plain sweep those zero frames are real kNN candidates the
-        # tile kernels see. Bound the truncation from below by every
-        # integer per-song length in the bucket that could index axis 1.
+        # tile kernels see. Bound the truncation from below by the
+        # per-song LENGTH keys in the bucket (the 'length*' naming
+        # convention every algorithm uses) — not by arbitrary integer
+        # descriptors, which could inflate the bound and forfeit the
+        # padding win.
         len_maxes = []
-        for v in desc.values():
+        for k, v in desc.items():
+            if not k.startswith("length"):
+                continue
             a = np.asarray(v[lo:hi])
             if a.ndim == 1 and np.issubdtype(a.dtype, np.integer) \
                     and a.size:
@@ -555,7 +565,12 @@ def run_pairwise_bucketed(
     would materialize RAM copies); pass `return_perm=True` to get the
     sort permutation and evaluate with `labels[perm]` — retrieval stats
     are permutation-invariant. `return_desc` appends the merged
-    descriptors (caller order for RAM scores, sorted order otherwise).
+    descriptors (caller order for RAM scores, sorted order otherwise) —
+    SMALL keys only (<= 64 KB/song): the merge exists to feed
+    post_process hooks, which read lengths/global vectors; bulk
+    descriptors are deliberately not pulled host-side (a device-resident
+    ssms corpus would cost minutes of D2H for unread data). A
+    post_process needing a bulk key must use the unbucketed path.
 
     Returns Ds [, merged_desc][, perm].
     """
@@ -583,7 +598,12 @@ def run_pairwise_bucketed(
                 if verbose:
                     print(f"[{algorithm.NAME}] reusing bucket store "
                           f"{path}")
-                descs.append(DescriptorStore.open(path))
+                d = DescriptorStore.open(path)
+                # same precision contract as the CLI's plain-store reuse
+                from acoss_tpu.data.descstore import \
+                    check_half_consistency
+                check_half_consistency(d, stream_half, path)
+                descs.append(d)
             else:
                 with _prof.stages.stage("extract:bucket"):
                     descs.append(extract_streamed(

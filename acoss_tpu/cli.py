@@ -34,22 +34,9 @@ def _load_featureset(datapath: str):
 
 
 def _check_store_half(desc: dict, want_half: bool, path: str) -> None:
-    """A reused descriptor store must match the requested precision
-    mode: silently feeding an fp16 store to a full-precision parity run
-    violates `--stream-half`'s own contract ('not for full-precision
-    parity runs'). The reverse direction only forfeits the throughput
-    win, so it just notes it."""
-    import numpy as np
+    from acoss_tpu.data.descstore import check_half_consistency
 
-    has_half = any(getattr(v, "dtype", None) == np.float16
-                   for v in desc.values())
-    if has_half and not want_half:
-        raise SystemExit(
-            f"{path} holds float16 descriptors but --stream-half was not"
-            f" passed; delete the store or rerun with --stream-half")
-    if want_half and not has_half:
-        print(f"note: --stream-half requested but {path} is full "
-              f"precision; reusing it as-is", file=sys.stderr)
+    check_half_consistency(desc, want_half, path)
 
 
 def _eval_and_report(algo, Ds, desc, fs, csv):

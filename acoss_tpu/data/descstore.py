@@ -104,6 +104,27 @@ def upcast_half(d: dict) -> dict:
             for k, v in d.items()}
 
 
+def check_half_consistency(desc: dict, want_half: bool,
+                           path: str) -> None:
+    """A REUSED store must match the requested precision mode: feeding
+    an fp16 store to a full-precision parity run silently violates the
+    `half` contract ('not for full-precision parity runs'), so that
+    direction raises; the reverse only forfeits the throughput win and
+    just notes it. Called by every store-reuse path (CLI plain stores,
+    bucketed per-bucket stores)."""
+    import sys
+
+    has_half = any(getattr(v, "dtype", None) == np.float16
+                   for v in desc.values())
+    if has_half and not want_half:
+        raise ValueError(
+            f"{path} holds float16 descriptors but a full-precision run "
+            f"was requested; delete the store or enable half precision")
+    if want_half and not has_half:
+        print(f"note: half precision requested but {path} is full "
+              f"precision; reusing it as-is", file=sys.stderr)
+
+
 def extract_streamed(algorithm, fs, store_path: str,
                      chunk_songs: int = 256, verbose: bool = False,
                      half: bool = False,

@@ -63,9 +63,14 @@ def test_stale_symmetrized_flag_invalidated(tmp_path):
     np.testing.assert_allclose(np.asarray(D["main"]),
                                np.asarray(ref["main"]), atol=1e-6)
 
-    # a completed resume (all tiles done) keeps the flag and the scores
+    # a completed resume (all enumerated tiles done) keeps the flag —
+    # strict-upper ledger entries are never set for symmetric sweeps,
+    # so the check must look at the lower triangle only
+    flag = os.path.join(sdir, "symmetrized.flag")
+    assert os.path.exists(flag)
     D3 = run_pairwise(alg, d2, 12, tile=4, scores_dir=sdir,
                       checkpoint_path=ckpt)
+    assert os.path.exists(flag)
     np.testing.assert_allclose(np.asarray(D3["main"]),
                                np.asarray(ref["main"]), atol=1e-6)
 
