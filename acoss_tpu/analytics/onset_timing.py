@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.stats
 from scipy.ndimage import gaussian_filter1d as gf1d
+from scipy.stats import ks_2samp
 
 
 def lower_star_persistence(x: np.ndarray,
@@ -104,3 +105,109 @@ def get_onset_means(onsets: np.ndarray, win: int = 20, sigma: float = 1.0,
     ret = X.mean(axis=1)
     med = np.median(ret)
     return ret / (med if med != 0 else 1.0)
+
+
+#: the reference study's persistence-image grid (`OnsetTiming.py:107-110`):
+#: tempo-ratio curves live in ~[0, 2], so up-filtration births span
+#: [0.5, 1.5] and down-filtration (of -y) births span [-1.5, -0.5]
+PI_LIMS = (0.5, 1.5, 0.0, 1.0)
+PI_LIMS_NEG = (-1.5, -0.5, 0.0, 1.0)
+PI_RES = 0.004
+PI_SIGMA = 0.04
+
+
+def onset_pi_descriptor(onsets: np.ndarray,
+                        pilims=PI_LIMS, pilimsneg=PI_LIMS_NEG,
+                        pires: float = PI_RES, psigma: float = PI_SIGMA,
+                        reference_quirk_up_for_down: bool = False,
+                        ) -> np.ndarray:
+    """Per-track persistence-image descriptor of the local-tempo curve.
+
+    The reference's per-track inner loop (`OnsetTiming.py:113-125`):
+    smoothed tempo curve -> up + down sublevel-set filtrations -> two
+    persistence images, concatenated flat.
+
+    `reference_quirk_up_for_down` reproduces `OnsetTiming.py:120`, which
+    passes the UP diagram to the down-image grid (whose birth range the
+    up births fall outside, so that half of the descriptor is ~0 there);
+    the default uses the down filtration as evidently intended.
+    """
+    y = get_onset_means(np.asarray(onsets, dtype=np.float64).ravel())
+    IUp = lower_star_persistence(y)
+    PIUp = persistence_image(IUp, pilims, pires, psigma=psigma)["PI"]
+    IDown = lower_star_persistence(-y)
+    src = IUp if reference_quirk_up_for_down else IDown
+    PIDown = persistence_image(src, pilimsneg, pires, psigma=psigma)["PI"]
+    return np.concatenate([PIUp.ravel(), PIDown.ravel()])
+
+
+def _paired_members(fs, feature: str):
+    """label -> first two member song indices, in dataset order
+    (the reference's pairs dict, `coverstats.py:10-37`)."""
+    pairs: dict = {}
+    for i in range(fs.n_songs):
+        pairs.setdefault(str(fs.labels[i]), []).append(i)
+    out = {}
+    for label, members in pairs.items():
+        if len(members) >= 2:
+            out[label] = members[:2]
+    return out
+
+
+def onset_timing_study(fs, feature: str = "onsets",
+                       pires: float = PI_RES, psigma: float = PI_SIGMA,
+                       reference_quirk_up_for_down: bool = False) -> dict:
+    """Dataset-level persistence-image study
+    (`OnsetTiming.py:104-148` / getAllPersistenceImages).
+
+    Computes the PI descriptor for both members of every cover pair,
+    then the Euclidean cross-distance matrix between the two member
+    sets: diagonal entries are true-cover distances, off-diagonal are
+    false-cover distances; compared with a two-sample KS test.
+    """
+    pairs = _paired_members(fs, feature)
+    labels = sorted(pairs)
+    Is1, Is2 = [], []
+    for label in labels:
+        a, b = pairs[label]
+        for k, idx in enumerate((a, b)):
+            ons = fs.feature(feature)[idx, :fs.length(feature)[idx]]
+            desc = onset_pi_descriptor(
+                ons, pires=pires, psigma=psigma,
+                reference_quirk_up_for_down=reference_quirk_up_for_down)
+            (Is1 if k == 0 else Is2).append(desc)
+    Is1 = np.asarray(Is1, dtype=np.float32)
+    Is2 = np.asarray(Is2, dtype=np.float32)
+    from acoss_tpu.ops import crp
+
+    D = np.asarray(crp.get_csm(Is1, Is2))
+    dcover = np.diag(D).copy()
+    mask = ~np.eye(D.shape[0], dtype=bool)
+    dfalse = D[mask]
+    ks = ks_2samp(dcover, dfalse) if len(dcover) > 1 else None
+    return {"labels": labels, "Is1": Is1, "Is2": Is2, "D": D,
+            "dcover": dcover, "dfalse": dfalse, "ks": ks,
+            "mean_cover": float(dcover.mean()) if len(dcover) else np.nan,
+            "mean_false": float(dfalse.mean()) if len(dfalse) else np.nan}
+
+
+def onset_stdev_study(fs, feature: str = "onsets") -> dict:
+    """Dataset-level tempo-curve standard-deviation study
+    (`OnsetTiming.py:151-181` / getAllSTDevs): |std(y1) - std(y2)| for
+    true vs false pairs, compared with a KS test."""
+    pairs = _paired_members(fs, feature)
+    labels = sorted(pairs)
+    stdevs = np.zeros((len(labels), 2))
+    for i, label in enumerate(labels):
+        for k, idx in enumerate(pairs[label]):
+            ons = fs.feature(feature)[idx, :fs.length(feature)[idx]]
+            stdevs[i, k] = np.std(get_onset_means(
+                np.asarray(ons, dtype=np.float64).ravel()))
+    D = np.abs(stdevs[:, 0][:, None] - stdevs[:, 1][None, :])
+    dcover = np.diag(D).copy()
+    dfalse = D[~np.eye(D.shape[0], dtype=bool)]
+    ks = ks_2samp(dcover, dfalse) if len(dcover) > 1 else None
+    return {"labels": labels, "stdevs": stdevs,
+            "dcover": dcover, "dfalse": dfalse, "ks": ks,
+            "mean_cover": float(dcover.mean()) if len(dcover) else np.nan,
+            "mean_false": float(dfalse.mean()) if len(dfalse) else np.nan}

@@ -14,6 +14,11 @@ Mirrors the reference's CLI surface with its flag names:
   directory of reference-format per-track h5 files.
 - `python -m acoss_tpu.cli extract -i <audio dir or collection txt> -o
    <features.npz> [-m cpu] [-n N]` — the `extractors.py:117-154` analog.
+- `python -m acoss_tpu.cli coverstats -d <features> -o <outdir>
+   [--studies key,tempo,onset,stdev,shapedna,tag]` — runs the "what is a
+  cover?" studies end-to-end and writes CSV/.npz/SVG artifacts plus
+  summary.json (the reference's runnable `coverstats/` scripts:
+  `coverstats.py:245-251`, `OnsetTiming.py:303-306`).
 """
 
 from __future__ import annotations
@@ -337,6 +342,31 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_coverstats(args) -> int:
+    from acoss_tpu.analytics.studies import ALL_STUDIES, run_coverstats
+
+    fs = _load_featureset(args.datapath)
+    studies = tuple(s.strip() for s in args.studies.split(",") if s.strip())
+    unknown = set(studies) - set(ALL_STUDIES)
+    if unknown:
+        print(f"unknown studies {sorted(unknown)}; "
+              f"choose from {list(ALL_STUDIES)}", file=sys.stderr)
+        return 1
+    pair_tags = None
+    if args.tags:
+        import json as _json
+
+        with open(args.tags) as f:
+            pair_tags = _json.load(f)
+    summary = run_coverstats(
+        fs, args.output, studies=studies, chroma_type=args.chroma_type,
+        figures=not args.no_figures, pair_tags=pair_tags, verbose=True)
+    import json as _json
+
+    print(_json.dumps(summary, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     # Honor an explicit JAX_PLATFORMS request through the config API as
     # well: preinstalled TPU plugins can ignore the env var, and a user
@@ -414,6 +444,27 @@ def main(argv=None) -> int:
                         "on the accelerator")
     e.add_argument("--error-log", default="errors.txt")
     e.set_defaults(fn=cmd_extract)
+
+    c = sub.add_parser(
+        "coverstats",
+        help="run the 'what is a cover?' studies and write artifacts "
+             "(the reference's coverstats/ scripts)")
+    c.add_argument("-d", "--datapath", required=True,
+                   help="FeatureSet .npz or a directory of track h5 files")
+    c.add_argument("-o", "--output", default="coverstats_out",
+                   help="artifact directory (CSVs, .npz arrays, SVG "
+                        "figures, summary.json)")
+    c.add_argument("--studies", default=",".join(
+        ("key", "tempo", "onset", "stdev", "shapedna")),
+        help="comma-separated subset of key,tempo,onset,stdev,shapedna,"
+             "tag (tag needs --tags)")
+    c.add_argument("-c", "--chroma_type", default="hpcp")
+    c.add_argument("--tags", default=None, metavar="JSON",
+                   help="label -> [tags1, tags2] JSON for the tag study "
+                        "(each tags_i a list of [tag, confidence])")
+    c.add_argument("--no-figures", action="store_true",
+                   help="skip SVG figure emission")
+    c.set_defaults(fn=cmd_coverstats)
 
     args = parser.parse_args(argv)
     return args.fn(args)

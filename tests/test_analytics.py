@@ -5,9 +5,12 @@ import pytest
 
 from acoss_tpu.analytics import (get_cover_pairs, get_onset_means,
                                  get_shape_dna, key_stats, key_table,
-                                 lower_star_persistence, persistence_image,
-                                 shape_dna_study, tag_f_measure, tag_stats,
-                                 tempo_stats, tempo_table)
+                                 lower_star_persistence,
+                                 onset_pi_descriptor, onset_stdev_study,
+                                 onset_timing_study, persistence_image,
+                                 run_coverstats, shape_dna_study,
+                                 tag_f_measure, tag_stats, tempo_stats,
+                                 tempo_table)
 from acoss_tpu.data import make_synthetic_dataset
 
 
@@ -75,6 +78,86 @@ def test_onset_means(dataset):
     curve = get_onset_means(onsets)
     assert curve.ndim == 1 and curve.size > 5
     assert abs(np.median(curve) - 1.0) < 1e-9
+
+
+def test_onset_pi_descriptor(dataset):
+    ons = dataset.feature("onsets")[0, :dataset.length("onsets")[0], 0]
+    d = onset_pi_descriptor(ons)
+    assert d.ndim == 1 and d.size > 0 and np.isfinite(d).all()
+    # both halves (up + down filtration images) should carry mass for a
+    # non-constant tempo curve
+    half = d.size // 2
+    assert d[:half].sum() > 0 and d[half:].sum() > 0
+    # the reference-quirk variant zeroes the down half (up births fall
+    # outside the negative grid)
+    q = onset_pi_descriptor(ons, reference_quirk_up_for_down=True)
+    assert q[half:].sum() == pytest.approx(0.0, abs=1e-9)
+    np.testing.assert_allclose(q[:half], d[:half])
+
+
+def test_onset_timing_study(dataset):
+    res = onset_timing_study(dataset)
+    n = len(res["labels"])
+    assert n == 6
+    assert res["Is1"].shape == res["Is2"].shape == (n, res["Is1"].shape[1])
+    assert res["D"].shape == (n, n)
+    assert res["dcover"].shape == (n,)
+    assert res["dfalse"].shape == (n * n - n,)
+    assert res["ks"] is not None and np.isfinite(res["ks"].statistic)
+    # covers share the clique tempo-curve shape: true-pair PI distances
+    # should be smaller on average than false-pair ones
+    assert res["mean_cover"] < res["mean_false"]
+
+
+def test_onset_stdev_study(dataset):
+    res = onset_stdev_study(dataset)
+    assert res["stdevs"].shape == (6, 2)
+    assert (res["stdevs"] > 0).all()
+    assert res["dcover"].shape == (6,)
+    assert res["ks"] is not None
+
+
+def test_run_coverstats_artifacts(dataset, tmp_path):
+    out = tmp_path / "stats"
+    tags = {str(lbl): [[["rock", 0.9]], [["rock", 0.8]]]
+            for lbl in sorted(set(dataset.labels))}
+    summary = run_coverstats(
+        dataset, str(out), studies=("key", "tempo", "onset", "stdev",
+                                    "tag"),
+        pair_tags=tags)
+    for fname in ("keys.csv", "tempos.csv", "onsettiming.npz",
+                  "stdevs.csv", "stdevs.npz", "tags.npz", "summary.json",
+                  "OnsetTimings.svg", "TempoRatios.svg",
+                  "KeyConfidences.svg", "StdevDistances.svg"):
+        assert (out / fname).exists(), fname
+    import json
+
+    with open(out / "summary.json") as f:
+        loaded = json.load(f)
+    assert loaded == summary
+    assert set(summary["studies"]) == {"key", "tempo", "onset", "stdev",
+                                       "tag"}
+    assert summary["studies"]["onset"]["mean_cover"] < \
+        summary["studies"]["onset"]["mean_false"]
+
+
+def test_coverstats_cli(dataset, tmp_path):
+    from acoss_tpu.cli import main
+
+    fsp = tmp_path / "fs.npz"
+    dataset.save(str(fsp))
+    out = tmp_path / "out"
+    rc = main(["coverstats", "-d", str(fsp), "-o", str(out),
+               "--studies", "tempo,stdev", "--no-figures"])
+    assert rc == 0
+    assert (out / "tempos.csv").exists()
+    assert (out / "stdevs.csv").exists()
+    assert (out / "summary.json").exists()
+    assert not (out / "TempoRatios.svg").exists()
+
+    rc = main(["coverstats", "-d", str(fsp), "-o", str(out),
+               "--studies", "nope"])
+    assert rc == 1
 
 
 def test_shape_dna(dataset):
