@@ -318,11 +318,57 @@ def _cmd_benchmark_inner(args) -> int:
     return 0
 
 
+def _shard_part_path(output: str, shard_id: int, num_shards: int) -> str:
+    stem = output[:-4] if output.endswith(".npz") else output
+    return f"{stem}.part_{shard_id}_{num_shards}.npz"
+
+
 def cmd_extract(args) -> int:
+    import numpy as np
+
     from acoss_tpu.data.manifest import (label_of, read_txt_list,
                                          track_id_of)
+    from acoss_tpu.data.store import FeatureSet, concat_feature_sets
     from acoss_tpu.features.pipeline import batch_extract
 
+    if args.merge_shards:
+        # Aggregate shard FeatureSets written by `-m cluster` array jobs
+        # (the store-merge analog of the reference's shared h5 dir).
+        import re as _re
+
+        stem = (args.output[:-4] if args.output.endswith(".npz")
+                else args.output)
+        paths = sorted(glob.glob(f"{stem}.part_*_*.npz"))
+        tags = []
+        for p in paths:
+            m = _re.search(r"\.part_(\d+)_(\d+)\.npz$", p)
+            if m:
+                tags.append((int(m.group(1)), int(m.group(2)), p))
+        if not tags:
+            print(f"no shard files matching {stem}.part_*_*.npz",
+                  file=sys.stderr)
+            return 1
+        nshards = {t[1] for t in tags}
+        if len(nshards) != 1:
+            print(f"shards from different shardings {sorted(nshards)}; "
+                  f"clean out stale runs", file=sys.stderr)
+            return 1
+        n = nshards.pop()
+        missing = set(range(n)) - {t[0] for t in tags}
+        if missing:
+            print(f"missing shard(s) {sorted(missing)} of {n}; rerun "
+                  f"them before merging", file=sys.stderr)
+            return 1
+        tags.sort()
+        fs = concat_feature_sets([FeatureSet.load(p) for _, _, p in tags])
+        fs.save(args.output)
+        print(f"merged {n} shards ({fs.n_songs} songs) -> {args.output}")
+        return 0
+
+    if not args.input:
+        print("-i/--input is required unless --merge-shards",
+              file=sys.stderr)
+        return 1
     if os.path.isdir(args.input):
         paths = sorted(
             glob.glob(os.path.join(args.input, "**", "*.wav"),
@@ -334,11 +380,34 @@ def cmd_extract(args) -> int:
     if not paths:
         print("no audio files found", file=sys.stderr)
         return 1
+
+    output = args.output
+    if args.mode == "cluster":
+        # One array-job shard (the reference's `-m cluster`,
+        # `extractors.py:145-146`): extract a contiguous block of the
+        # collection and write a shard FeatureSet; a later
+        # --merge-shards run concatenates them bit-identically to a
+        # serial extraction.
+        if not 0 <= args.shard_id < args.num_shards:
+            print(f"--shard-id must be in [0, {args.num_shards}) — got "
+                  f"{args.shard_id}", file=sys.stderr)
+            return 1
+        blocks = np.array_split(np.arange(len(paths)), args.num_shards)
+        idx = blocks[args.shard_id]
+        paths = [paths[i] for i in idx]
+        output = _shard_part_path(args.output, args.shard_id,
+                                  args.num_shards)
+        if not paths:
+            print(f"shard {args.shard_id} is empty ({args.num_shards} "
+                  f"shards over fewer files)", file=sys.stderr)
+            return 1
+
     labels = [label_of(p) for p in paths]
     ids = [track_id_of(p) for p in paths]
-    fs = batch_extract(paths, labels, ids, error_log=args.error_log)
-    fs.save(args.output)
-    print(f"extracted {fs.n_songs}/{len(paths)} songs -> {args.output}")
+    fs = batch_extract(paths, labels, ids, error_log=args.error_log,
+                       n_workers=args.n_threads)
+    fs.save(output)
+    print(f"extracted {fs.n_songs}/{len(paths)} songs -> {output}")
     return 0
 
 
@@ -435,13 +504,26 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_benchmark)
 
     e = sub.add_parser("extract", help="extract features from audio")
-    e.add_argument("-i", "--input", required=True,
-                   help="audio directory or collection txt")
+    e.add_argument("-i", "--input", default=None,
+                   help="audio directory or collection txt (not needed "
+                        "with --merge-shards)")
     e.add_argument("-o", "--output", default="features.npz")
-    e.add_argument("-m", "--mode", default="cpu", choices=["cpu"])
+    e.add_argument("-m", "--mode", default="cpu",
+                   choices=["cpu", "cluster"],
+                   help="'cluster' extracts one shard of the collection "
+                        "(with --num-shards/--shard-id) for array jobs "
+                        "(the reference's -m cluster, "
+                        "extractors.py:145-146)")
     e.add_argument("-n", "--n_threads", type=int, default=1,
-                   help="accepted for flag parity; extraction is batched "
-                        "on the accelerator")
+                   help="host threads for per-song decode + feature "
+                        "computation (the reference's joblib -n)")
+    e.add_argument("--num-shards", type=int, default=1,
+                   help="total shards in cluster mode")
+    e.add_argument("--shard-id", type=int, default=0,
+                   help="this job's shard index (0-based)")
+    e.add_argument("--merge-shards", action="store_true",
+                   help="concatenate <output>.part_*_*.npz shard "
+                        "FeatureSets into <output>")
     e.add_argument("--error-log", default="errors.txt")
     e.set_defaults(fn=cmd_extract)
 

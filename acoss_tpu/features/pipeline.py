@@ -110,24 +110,48 @@ def batch_extract(paths: list[str], labels: list[str],
                   track_ids: list[str] | None = None,
                   sr: int = 44100, hop_length: int = 512,
                   features: list | None = None,
-                  error_log: str | None = None) -> FeatureSet:
+                  error_log: str | None = None,
+                  n_workers: int = 1) -> FeatureSet:
     """Extract a whole collection into one FeatureSet.
 
     Per-song failures are logged and the song skipped — the reference's
     fault-tolerance contract (`extractors.py:57-78`, `utils.py:80-93`).
+
+    `n_workers` > 1 runs per-song decode + feature computation on a host
+    thread pool (the reference's `-n` joblib fan-out,
+    `extractors.py:81-115`): audio decode and the numpy stages
+    parallelize across cores while the jitted device stages serialize on
+    the accelerator. Song order — and therefore the resulting
+    FeatureSet — is identical to the serial run.
     """
-    songs, keep_labels, keep_ids = [], [], []
     track_ids = track_ids or paths
-    errors = []
-    for path, label, tid in zip(paths, labels, track_ids):
+
+    def one(args):
+        path, label, tid = args
         try:
             audio = load_audio(path, sr)
             feats = compute_features(audio, sr, hop_length, features)
-            songs.append(song_dict_for_store(feats))
+            return song_dict_for_store(feats), label, tid, None
+        except Exception:
+            return None, label, tid, f"{path}\n{traceback.format_exc()}"
+
+    jobs = list(zip(paths, labels, track_ids))
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(one, jobs))
+    else:
+        results = [one(j) for j in jobs]
+
+    songs, keep_labels, keep_ids, errors = [], [], [], []
+    for song, label, tid, err in results:
+        if err is not None:
+            errors.append(err)
+        else:
+            songs.append(song)
             keep_labels.append(label)
             keep_ids.append(tid)
-        except Exception:
-            errors.append(f"{path}\n{traceback.format_exc()}")
     if errors and error_log:
         with open(error_log, "a") as f:
             f.write("\n".join(errors) + "\n")
