@@ -76,6 +76,9 @@ def compute_features(audio: np.ndarray, sr: int = 44100,
         out["chroma_cqt"] = chroma_mod.chroma_cqt(audio, sr, hop_length)
     if "chroma_cens" in features:
         out["chroma_cens"] = chroma_mod.chroma_cens(audio, sr, hop_length)
+    if "cqt_nsg" in features:
+        from acoss_tpu.features.nsgcq import cqt_nsg
+        out["cqt_nsg"] = cqt_nsg(audio, sr)
     if "mfcc_htk" in features:
         out["mfcc_htk"] = mfcc_htk(audio, sr, hop_length=hop_length)
     if "mfcc_librosa" in features:
