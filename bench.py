@@ -2,7 +2,12 @@
 
 Prints ONE JSON line:
   {"metric": "qmax_pairs_per_sec_per_chip", "value": ..., "unit":
-   "song-pairs/sec/chip", "vs_baseline": ...}
+   "song-pairs/sec/chip", "vs_baseline": ...,
+   "serra09_scored_pairs_per_sec": ...}
+
+The extra `serra09_scored_pairs_per_sec` field is the FULLY-SCORED
+end-to-end rate (OTI -> CSM -> CRP -> qmax+dmax on 2 channels per pair)
+so the driver record tracks sweep throughput, not just the bare kernel.
 
 vs_baseline is the multiplier over the native single-core C++ qmax baseline
 (the analog of the reference's Cython/C kernel,
@@ -143,10 +148,66 @@ def main():
         "unit": "song-pairs/sec/chip",
         "vs_baseline": round(tpu_pps / cpu_pps, 2),
     }
+
+    # --- end-to-end metric: FULLY-SCORED Serra09 tile throughput (OTI ->
+    # CSM -> sliding window -> mutual-kNN CRP -> qmax + dmax, 2 channels)
+    # at covers80-realistic descriptor dims — the sweep rate a user sees,
+    # not just the bare kernel. Recorded alongside the primary metric so
+    # the driver tracks it across rounds (VERDICT r3 item 7).
+    try:
+        result["serra09_scored_pairs_per_sec"] = round(
+            _serra09_scored_pps(jax, jnp), 2)
+    except Exception as e:                      # never mask the headline
+        result["serra09_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(result))
     print(f"# CPU baseline: {cpu_pps:.1f} pairs/s (1 core); "
           f"TPU: {tpu_pps:.1f} pairs/s; device={jax.devices()[0]}",
           file=sys.stderr)
+
+
+def _serra09_scored_pps(jax, jnp, tile: int = 16, niter: int = 5) -> float:
+    """Amortized pairs/s of the full Serra09 tile program.
+
+    32 synthetic songs at covers80-realistic CRP dims (descriptor
+    lengths 160-480 -> padded 512, matching the headline L=512 qmax
+    workload); one jitted call scores `niter` rolled row-tile variants
+    so the tunnel RTT and dispatch overhead cancel exactly like the
+    kernel metric."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=tile, clique_size=2, seed=1)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=1)
+    desc = algo.extract_descriptors(fs)
+    row = jax.device_put({k: np.asarray(v)[:tile] for k, v in desc.items()})
+    col = jax.device_put({k: np.asarray(v)[tile:2 * tile]
+                          for k, v in desc.items()})
+
+    def amortized(n):
+        @jax.jit
+        def many(row, col):
+            def body(c, k):
+                rk = {kk: jnp.roll(v, k, axis=0) for kk, v in row.items()}
+                out = algo.tile_scores(rk, col)
+                return c + sum(jnp.sum(v) for v in out.values()), None
+            c, _ = jax.lax.scan(body, 0.0, jnp.arange(n))
+            return c
+        return many
+
+    f1, fn = amortized(1), amortized(niter)
+    _ = float(f1(row, col))
+    _ = float(fn(row, col))
+    t1s, tns = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(f1(row, col))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(fn(row, col))
+        tns.append(time.perf_counter() - t0)
+    per_call = (min(tns) - min(t1s)) / (niter - 1)
+    return tile * tile / per_call
 
 
 if __name__ == "__main__":
