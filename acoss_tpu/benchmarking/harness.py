@@ -727,6 +727,7 @@ def run_pairwise_hybrid(
     verbose: bool = False,
     skip_symmetrize: bool = False,
     panel_filter=None,
+    prefetch_panels: bool = True,
 ) -> dict:
     """Hybrid device-panel / disk-column sweep for corpora whose
     descriptors fit neither HBM nor host RAM (Serra09-FULL / EarlySNF at
@@ -744,8 +745,11 @@ def run_pairwise_hybrid(
     the reference's per-song disk caches (`Serra09.py:116-140`) with HBM
     as level 1 and the memmap store as level 2.
 
-    HBM usage: one panel (panel_songs rows of descriptors) + one column
-    tile + tile working set. Host RAM: one column tile + flush buffers.
+    HBM usage: one panel (panel_songs rows of descriptors) + up to three
+    in-flight column tiles + tile working set — TWO panels while
+    `prefetch_panels` overlaps the next panel's upload with the current
+    panel's sweep tail (turn it off when a single panel already fills
+    most of HBM). Host RAM: one column tile + flush buffers.
     Resume/ledger/memmap-scores semantics are `run_pairwise`'s
     (`_TileSweeper`).
 
@@ -789,20 +793,30 @@ def run_pairwise_hybrid(
         algorithm, f"panel_vs_tile:{tile}:{tiles_per_panel}",
         _build_panel_vs_tile)
 
-    # One-slot column prefetcher: the disk read + host->device copy of a
+    # Two-deep column prefetcher: the disk read + host->device copy of a
     # column tile BLOCK the issuing thread for the whole transfer (the
     # link is the bottleneck at these sizes — 296 MB/tile at Da-TACOS
-    # dims), so tile j+1's load runs on a worker thread while the main
-    # thread dispatches tile j's compute. Both released the GIL in
-    # measurement; HBM cost is one extra in-flight column tile.
+    # dims), so the next TWO tiles' loads run on worker threads while
+    # the main thread dispatches the current tile's compute. Depth 2
+    # (vs the round-3 one-slot design) keeps a transfer in flight even
+    # when compute runs longer than one upload (the fp16 / 256-song
+    # panel regime); HBM cost is two extra in-flight column tiles.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     def _load_col(tj):
         return jax.device_put(_tile_slice(
             desc, tj * tile, (tj + 1) * tile, tile))
 
-    prefetch = ThreadPoolExecutor(1)
-    t0 = time.time()
+    def _load_panel(t_lo, t_hi):
+        return jax.device_put(_tile_slice(
+            desc, t_lo * tile, t_hi * tile, tiles_per_panel * tile))
+
+    # Plan the active panels up front (tiles belong to exactly one
+    # panel's rows, so `done` for a later panel can't change while an
+    # earlier one sweeps) — the plan is what lets panel p+1's multi-GB
+    # HBM upload overlap the tail of panel p's column sweep.
+    plan = []
     for p in range(n_panels):
         if panel_filter is not None and not panel_filter(p):
             continue
@@ -817,18 +831,34 @@ def run_pairwise_hybrid(
                   if any(not done[ti, tj] and
                          (not algorithm.SYMMETRIC or tj <= ti)
                          for ti in row_tiles)]
-        if not needed:
-            continue
+        if needed:
+            plan.append((p, t_lo, t_hi, row_tiles, needed))
+
+    prefetch = ThreadPoolExecutor(2)
+    panel_pool = ThreadPoolExecutor(1)
+    panel_fut = None
+    t0 = time.time()
+    for pi, (p, t_lo, t_hi, row_tiles, needed) in enumerate(plan):
         with _prof.stages.stage("hybrid:panel_upload"):
-            panel_dev = jax.device_put(_tile_slice(
-                desc, t_lo * tile, t_hi * tile, tiles_per_panel * tile))
-        fut = prefetch.submit(_load_col, needed[0])
+            panel_dev = (panel_fut.result() if panel_fut is not None
+                         else _load_panel(t_lo, t_hi))
+        if prefetch_panels and pi + 1 < len(plan):
+            # overlap the NEXT panel's upload with this panel's sweep;
+            # peak HBM holds two panels (disable via prefetch_panels
+            # when one panel already fills most of HBM)
+            _, nlo, nhi, _, _ = plan[pi + 1]
+            panel_fut = panel_pool.submit(_load_panel, nlo, nhi)
+        else:
+            panel_fut = None
+        futs = deque(prefetch.submit(_load_col, tj)
+                     for tj in needed[:2])
         for ci, tj in enumerate(needed):
             with _prof.stages.stage("hybrid:col_tile"), \
                     _prof.step_annotation("hybrid", panel=p, tj=tj):
-                col_dev = fut.result()
-                if ci + 1 < len(needed):
-                    fut = prefetch.submit(_load_col, needed[ci + 1])
+                col_dev = futs.popleft().result()
+                if ci + 2 < len(needed):
+                    futs.append(prefetch.submit(_load_col,
+                                                needed[ci + 2]))
                 stack = panel_vs_tile(panel_dev, col_dev)
             for i, ti in enumerate(row_tiles):
                 if done[ti, tj]:
@@ -837,11 +867,13 @@ def run_pairwise_hybrid(
                     continue
                 sweep.submit(ti, tj,
                              {k: v[i] for k, v in stack.items()})
+        del panel_dev
         sweep.flush()
         if verbose:
             print(f"[{algorithm.NAME}] panel {p + 1}/{n_panels} "
                   f"({time.time() - t0:.1f}s)")
     prefetch.shutdown(wait=True)
+    panel_pool.shutdown(wait=True)
     return sweep.finalize(skip_symmetrize)
 
 

@@ -214,7 +214,8 @@ def _cmd_benchmark_inner(args) -> int:
                 algo, desc, fs.n_songs, args.process_id,
                 args.num_processes, args.partial_dir,
                 panel_songs=args.hybrid_panel, tile=args.tile,
-                verbose=True)
+                verbose=True,
+                prefetch_panels=not args.no_panel_prefetch)
         else:
             path = run_process_shard(
                 algo, desc, fs.n_songs, args.process_id,
@@ -298,7 +299,8 @@ def _cmd_benchmark_inner(args) -> int:
                 algo, desc, fs.n_songs,
                 panel_songs=args.hybrid_panel, tile=args.tile,
                 checkpoint_path=ckpt, verbose=True,
-                scores_dir=os.path.join(args.stream_dir, "scores"))
+                scores_dir=os.path.join(args.stream_dir, "scores"),
+                prefetch_panels=not args.no_panel_prefetch)
         else:
             Ds = run_pairwise(
                 algo, desc, fs.n_songs, tile=args.tile,
@@ -498,6 +500,11 @@ def main(argv=None) -> int:
                         "in HBM per panel (the heaviest-channel mode "
                         "when descriptors exceed HBM; composes with "
                         "--num-processes, which shards whole panels)")
+    b.add_argument("--no-panel-prefetch", action="store_true",
+                   help="with --hybrid-panel: don't overlap the next "
+                        "panel's HBM upload with the current panel's "
+                        "sweep (use when one panel already fills most "
+                        "of HBM)")
     b.add_argument("--merge", action="store_true",
                    help="aggregate partial files from --partial-dir and "
                         "evaluate (the reference's -b/load_batches)")

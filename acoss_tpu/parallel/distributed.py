@@ -124,6 +124,7 @@ def run_process_shard_hybrid(
     panel_songs: int = 128,
     tile: int | None = None,
     verbose: bool = False,
+    prefetch_panels: bool = True,
 ) -> str:
     """One process's share of the hybrid device-panel / disk-column sweep
     (the Da-TACOS heaviest-channel mode: descriptors too big for HBM AND
@@ -151,7 +152,8 @@ def run_process_shard_hybrid(
     Ds = run_pairwise_hybrid(
         algorithm, desc, n_songs, panel_songs=panel_songs, tile=tile,
         scores_dir=scores_dir, verbose=verbose, skip_symmetrize=True,
-        panel_filter=lambda p: p in mine)
+        panel_filter=lambda p: p in mine,
+        prefetch_panels=prefetch_panels)
     for D in Ds.values():
         D.flush()
     return scores_dir

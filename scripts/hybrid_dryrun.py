@@ -83,6 +83,10 @@ def main() -> int:
     ap.add_argument("--half", action="store_true",
                     help="store the ssms key as float16 (the "
                          "--stream-half layout)")
+    ap.add_argument("--no-panel-prefetch", action="store_true",
+                    help="disable the next-panel HBM upload overlap "
+                         "(to measure the prefetch win / for panels "
+                         "that nearly fill HBM)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -143,7 +147,8 @@ def main() -> int:
     run_pairwise_hybrid(algo, desc, n, panel_songs=args.panel_songs,
                         tile=args.tile, scores_dir=scores_dir,
                         checkpoint_path=ckpt, verbose=True,
-                        skip_symmetrize=True)
+                        skip_symmetrize=True,
+                        prefetch_panels=not args.no_panel_prefetch)
     dt = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     per_tile = dt / max(n_swept, 1)
