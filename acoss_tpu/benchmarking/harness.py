@@ -533,6 +533,7 @@ def run_pairwise_bucketed(
     stream_dir: str | None = None,
     stream_chunk: int = 256,
     stream_half: bool = False,
+    stream_quant: str | None = None,
     device_resident: bool | None = None,
     checkpoint_every: int = 16,
     return_perm: bool = False,
@@ -587,6 +588,7 @@ def run_pairwise_bucketed(
         scores_dir = os.path.join(stream_dir, "scores")
 
     descs: list[dict] = []
+    quant = stream_quant or ("half" if stream_half else None)
     if stream_dir is not None:
         from acoss_tpu.data.descstore import (DescriptorStore,
                                               extract_streamed)
@@ -601,15 +603,15 @@ def run_pairwise_bucketed(
                 d = DescriptorStore.open(path)
                 # same precision contract as the CLI's plain-store reuse
                 from acoss_tpu.data.descstore import \
-                    check_half_consistency
-                check_half_consistency(d, stream_half, path)
+                    check_stream_consistency
+                check_stream_consistency(d, quant, path)
                 descs.append(d)
             else:
                 with _prof.stages.stage("extract:bucket"):
                     descs.append(extract_streamed(
                         algorithm, fss.subset(np.arange(lo, hi)), path,
                         chunk_songs=stream_chunk, verbose=verbose,
-                        half=stream_half))
+                        quant=quant))
     else:
         # ONE whole-corpus extraction on the sorted fs, then split into
         # buckets by row slice + trailing-zero axis-1 truncation —

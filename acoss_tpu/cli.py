@@ -38,10 +38,17 @@ def _load_featureset(datapath: str):
     return FeatureSet.load(datapath)
 
 
-def _check_store_half(desc: dict, want_half: bool, path: str) -> None:
-    from acoss_tpu.data.descstore import check_half_consistency
+def _stream_quant(args) -> str | None:
+    """--stream-int8 / --stream-half -> the extract_streamed quant mode."""
+    if getattr(args, "stream_int8", False):
+        return "int8"
+    return "half" if args.stream_half else None
 
-    check_half_consistency(desc, want_half, path)
+
+def _check_store_quant(desc: dict, args, path: str) -> None:
+    from acoss_tpu.data.descstore import check_stream_consistency
+
+    check_stream_consistency(desc, _stream_quant(args), path)
 
 
 def _eval_and_report(algo, Ds, desc, fs, csv):
@@ -176,7 +183,7 @@ def _cmd_benchmark_inner(args) -> int:
             meta = os.path.join(desc_path, DescriptorStore.META)
             if os.path.exists(meta):
                 desc = DescriptorStore.open(desc_path)
-                _check_store_half(desc, args.stream_half, desc_path)
+                _check_store_quant(desc, args, desc_path)
             elif args.process_id == 0:
                 # exactly ONE process may build the shared store
                 # (concurrent extract_streamed calls would race on the
@@ -187,7 +194,7 @@ def _cmd_benchmark_inner(args) -> int:
                 desc = extract_streamed(algo, fs, desc_path,
                                         chunk_songs=args.stream_chunk,
                                         verbose=True,
-                                        half=args.stream_half)
+                                        quant=_stream_quant(args))
             else:
                 import time as _time
 
@@ -203,7 +210,7 @@ def _cmd_benchmark_inner(args) -> int:
                         return 1
                     _time.sleep(5.0)
                 desc = DescriptorStore.open(desc_path)
-                _check_store_half(desc, args.stream_half, desc_path)
+                _check_store_quant(desc, args, desc_path)
         else:
             desc = algo.extract_descriptors(fs)
         if args.hybrid_panel:
@@ -278,7 +285,7 @@ def _cmd_benchmark_inner(args) -> int:
                 verbose=True, checkpoint_path=ckpt,
                 stream_dir=args.stream_dir,
                 stream_chunk=args.stream_chunk,
-                stream_half=args.stream_half,
+                stream_quant=_stream_quant(args),
                 return_desc=True, return_perm=True)
             _eval_and_report(algo, Ds, desc, fs.subset(perm), csv)
             return 0
@@ -287,11 +294,12 @@ def _cmd_benchmark_inner(args) -> int:
         if os.path.exists(os.path.join(desc_path, DescriptorStore.META)):
             print(f"reusing descriptor store {desc_path}")
             desc = DescriptorStore.open(desc_path)
-            _check_store_half(desc, args.stream_half, desc_path)
+            _check_store_quant(desc, args, desc_path)
         else:
             desc = extract_streamed(algo, fs, desc_path,
                                     chunk_songs=args.stream_chunk,
-                                    verbose=True, half=args.stream_half)
+                                    verbose=True,
+                                    quant=_stream_quant(args))
         if args.hybrid_panel:
             from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
 
@@ -494,6 +502,14 @@ def main(argv=None) -> int:
                         "host->device traffic and HBM; compute upcasts "
                         "to fp32 on device — a throughput mode, not for "
                         "full-precision parity runs)")
+    b.add_argument("--stream-int8", action="store_true",
+                   help="with --stream-dir: store heavy float32 "
+                        "descriptors as per-song-scaled int8 (quarter "
+                        "the disk store, host->device traffic and HBM; "
+                        "compute dequantizes to fp32 on device — a "
+                        "throughput mode, not for full-precision parity "
+                        "runs; absolute error ~0.4%% of each song's "
+                        "max-abs)")
     b.add_argument("--hybrid-panel", type=int, default=0, metavar="P",
                    help="with --stream-dir: hybrid device-panel / "
                         "disk-column sweep pinning P songs' descriptors "

@@ -87,48 +87,105 @@ class DescriptorStore:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
-def upcast_half(d: dict) -> dict:
-    """Upcast half-precision descriptor leaves to float32 INSIDE a jitted
-    tile program. Descriptors may be stored/streamed/pinned as float16
-    (`extract_streamed(half=True)`) to halve the disk store, the
+QSCALE = "@qscale"      # companion-leaf suffix for int8 quantization
+
+
+def quantize_int8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-song symmetric int8 quantization: (int8 values, float32
+    scale of shape (n_songs,)) with v ~= int8 * scale[:, None, ...].
+    All-zero songs get scale 1 so the dequant stays exact zeros."""
+    v = np.asarray(v, dtype=np.float32)
+    amax = np.abs(v).reshape(v.shape[0], -1).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.round(v / scale.reshape((-1,) + (1,) * (v.ndim - 1)))
+    return np.clip(q, -127, 127).astype(np.int8), scale
+
+
+def upcast_stream(d: dict) -> dict:
+    """Restore full-precision float32 descriptor leaves INSIDE a jitted
+    tile program. Descriptors may be stored/streamed/pinned quantized
+    (`extract_streamed(quant=...)`) to shrink the disk store, the
     host->device tile traffic and the HBM corpus footprint — the
     bandwidth-bound resources of a Da-TACOS-scale sweep (the 15k ssms
-    corpus is ~557 GB in fp32). Compute stays fp32: the upcast is a fused
-    elementwise op on bytes already on device. The ONE definition of the
-    half contract — every sweep (harness single-process, parallel mesh)
-    imports it from here."""
+    corpus is ~557 GB in fp32):
+
+    - 'half': float16 leaves, upcast with `.astype` (2x smaller);
+    - 'int8': int8 leaves + a per-song `<key>@qscale` float32 companion,
+      dequantized as int8 * scale (4x smaller, ~0.4% of each song's
+      max-abs in absolute error).
+
+    Compute stays fp32: the dequant is a fused elementwise op on bytes
+    already on device. The ONE definition of the quantized-stream
+    contract — every sweep (harness single-process/bucketed/hybrid,
+    parallel mesh) imports it from here. Companion leaves are consumed
+    (dropped from the returned dict)."""
     import jax.numpy as jnp
 
-    return {k: v.astype(jnp.float32)
-            if v.dtype in (jnp.float16, jnp.bfloat16) else v
-            for k, v in d.items()}
+    out = {}
+    for k, v in d.items():
+        if k.endswith(QSCALE):
+            continue
+        if v.dtype in (jnp.float16, jnp.bfloat16):
+            v = v.astype(jnp.float32)
+        elif v.dtype == jnp.int8 and k + QSCALE in d:
+            s = d[k + QSCALE].astype(jnp.float32)
+            v = v.astype(jnp.float32) * s.reshape(
+                s.shape + (1,) * (v.ndim - s.ndim))
+        out[k] = v
+    return out
 
 
-def check_half_consistency(desc: dict, want_half: bool,
-                           path: str) -> None:
+# the historical name (pre-int8) — same function, every call site keeps
+# working
+upcast_half = upcast_stream
+
+
+def store_quant(desc: dict) -> str | None:
+    """The quantization mode a store was written with: 'int8' if any
+    leaf has a `@qscale` companion, 'half' if any leaf is float16,
+    else None."""
+    if any(k.endswith(QSCALE) for k in desc):
+        return "int8"
+    if any(getattr(v, "dtype", None) == np.float16
+           for v in desc.values()):
+        return "half"
+    return None
+
+
+def check_stream_consistency(desc: dict, quant: str | None,
+                             path: str) -> None:
     """A REUSED store must match the requested precision mode: feeding
-    an fp16 store to a full-precision parity run silently violates the
-    `half` contract ('not for full-precision parity runs'), so that
+    a quantized store to a higher-precision run silently violates the
+    quant contract ('not for full-precision parity runs'), so that
     direction raises; the reverse only forfeits the throughput win and
     just notes it. Called by every store-reuse path (CLI plain stores,
     bucketed per-bucket stores)."""
     import sys
 
-    has_half = any(getattr(v, "dtype", None) == np.float16
-                   for v in desc.values())
-    if has_half and not want_half:
+    rank = {None: 0, "half": 1, "int8": 2}
+    have = store_quant(desc)
+    if rank[have] > rank[quant]:
         raise ValueError(
-            f"{path} holds float16 descriptors but a full-precision run "
-            f"was requested; delete the store or enable half precision")
-    if want_half and not has_half:
-        print(f"note: half precision requested but {path} is full "
-              f"precision; reusing it as-is", file=sys.stderr)
+            f"{path} holds {have}-quantized descriptors but a "
+            f"{quant or 'full'}-precision run was requested; delete the "
+            f"store or request --stream-{have}")
+    if rank[have] < rank[quant]:
+        print(f"note: {quant} precision requested but {path} is "
+              f"{have or 'full'} precision; reusing it as-is",
+              file=sys.stderr)
+
+
+def check_half_consistency(desc: dict, want_half: bool,
+                           path: str) -> None:
+    """Pre-int8 name for `check_stream_consistency(desc, 'half', ...)`."""
+    check_stream_consistency(desc, "half" if want_half else None, path)
 
 
 def extract_streamed(algorithm, fs, store_path: str,
                      chunk_songs: int = 256, verbose: bool = False,
                      half: bool = False,
-                     half_min_bytes: int = 65536) -> dict:
+                     half_min_bytes: int = 65536,
+                     quant: str | None = None) -> dict:
     """Chunked descriptor extraction into a DescriptorStore.
 
     Each chunk of songs is extracted with the algorithm's ordinary
@@ -138,15 +195,25 @@ def extract_streamed(algorithm, fs, store_path: str,
     final fixed-width memmaps. Peak host memory is one chunk's
     descriptors. Returns the read-only descriptor dict.
 
-    `half=True` stores float32 descriptors whose PER-SONG slice is at
-    least `half_min_bytes` as float16 — a throughput mode for the
-    bandwidth-bound Da-TACOS sweeps: it halves the disk store (the 15k
+    `quant` (or the pre-int8 spelling `half=True` == quant='half')
+    stores float32 descriptors whose PER-SONG slice is at least
+    `half_min_bytes` in a compressed dtype — a throughput mode for the
+    bandwidth-bound Da-TACOS sweeps shrinking the disk store (the 15k
     ssms corpus is ~557 GB in fp32), the host->device tile traffic and
-    the HBM footprint. The sweeps upcast to fp32 on device before any
-    compute (`upcast_half`), so only the stored values are
-    quantized (~1e-3 relative); small keys (lengths, global chroma)
-    stay exact. Opt-in: full-precision parity paths must leave it off.
+    the HBM footprint:
+
+    - 'half': float16 (2x, ~1e-3 relative error);
+    - 'int8': per-song symmetric int8 + a float32 `<key>@qscale`
+      companion leaf (4x, absolute error ~0.4% of each song's max-abs).
+
+    The sweeps restore fp32 on device before any compute
+    (`upcast_stream`); small keys (lengths, global chroma) stay exact.
+    Opt-in: full-precision parity paths must leave it off.
     """
+    if half and quant is None:
+        quant = "half"
+    if quant not in (None, "half", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r}")
     n = fs.n_songs
     # extract_streamed always builds the store from scratch (there is no
     # chunk-level resume), so clear any pre-existing memmaps: debris from
@@ -178,16 +245,20 @@ def extract_streamed(algorithm, fs, store_path: str,
                     f"support streamed extraction: descriptor {k!r} is "
                     f"not a fixed-rank array with leading dim n_songs "
                     f"(got dtype={v.dtype}, shape={v.shape})")
-            # the half-key set is decided ONCE, on the first chunk:
+            # the quantized-key set is decided ONCE, on the first chunk:
             # chunk-local padded widths differ, and a near-threshold key
-            # must not end up fp16 in some chunks and fp32 in others
-            # (the store dtype would then depend on chunk order)
-            if (half and ci == 0 and v.dtype == np.float32
+            # must not end up compressed in some chunks and fp32 in
+            # others (the store dtype would then depend on chunk order)
+            if (quant and ci == 0 and v.dtype == np.float32
                     and v[:1].nbytes >= half_min_bytes):
                 half_keys.add(k)
             if k in half_keys and v.dtype == np.float32:
-                v = v.astype(np.float16)
+                if quant == "int8":
+                    v, payload[k + QSCALE] = quantize_int8(v)
+                else:
+                    v = v.astype(np.float16)
             payload[k] = v
+        for k, v in payload.items():   # incl. @qscale companions
             prev = widths.get(k)
             widths[k] = (v.shape[1:] if prev is None else
                          tuple(max(a, b)

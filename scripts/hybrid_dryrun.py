@@ -38,19 +38,19 @@ import numpy as np
 
 def _make_store(path: str, n: int, L: int, ssm_dim: int,
                 chunk: int | None = None, seed: int = 0,
-                half: bool = False) -> dict:
+                quant: str | None = None) -> dict:
     """Synthetic EarlySNF-schema DescriptorStore written chunkwise.
 
-    `half` stores the dominant ssms key as float16 (the
-    `extract_streamed(half=True)` layout): at Da-TACOS dims it halves
-    the disk store and every column-tile/panel upload."""
-    from acoss_tpu.data.descstore import DescriptorStore
+    `quant` stores the dominant ssms key quantized (the
+    `extract_streamed(quant=...)` layouts): at Da-TACOS dims 'half'
+    halves and 'int8' quarters the disk store and every
+    column-tile/panel upload."""
+    from acoss_tpu.data.descstore import DescriptorStore, quantize_int8
 
     if chunk is None:   # keep one chunk's ssms under ~2 GB of RAM
         chunk = max(1, min(512, int(2e9 / (L * ssm_dim * 4))))
     store = DescriptorStore(path, n)
     rng = np.random.default_rng(seed)
-    sdt = np.float16 if half else np.float32
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         m = hi - lo
@@ -58,9 +58,14 @@ def _make_store(path: str, n: int, L: int, ssm_dim: int,
                     rng.random((m, L, 12), dtype=np.float32))
         store.write("mfcc", lo,
                     rng.standard_normal((m, L, 13), dtype=np.float32))
-        store.write("ssms", lo,
-                    rng.random((m, L, ssm_dim),
-                               dtype=np.float32).astype(sdt))
+        ssms = rng.random((m, L, ssm_dim), dtype=np.float32)
+        if quant == "int8":
+            q, s = quantize_int8(ssms)
+            store.write("ssms", lo, q)
+            store.write("ssms@qscale", lo, s)
+        else:
+            store.write("ssms", lo, ssms.astype(
+                np.float16 if quant == "half" else np.float32))
         store.write("gchroma", lo,
                     rng.random((m, 12), dtype=np.float32))
         store.write("length", lo,
@@ -83,6 +88,9 @@ def main() -> int:
     ap.add_argument("--half", action="store_true",
                     help="store the ssms key as float16 (the "
                          "--stream-half layout)")
+    ap.add_argument("--int8", action="store_true",
+                    help="store the ssms key as per-song-scaled int8 "
+                         "(the --stream-int8 layout)")
     ap.add_argument("--no-panel-prefetch", action="store_true",
                     help="disable the next-panel HBM upload overlap "
                          "(to measure the prefetch win / for panels "
@@ -105,12 +113,13 @@ def main() -> int:
         n, L, sdim = args.songs, 448, 20736
         pad_mult = 64
 
-    suffix = "_half" if args.half else ""
+    quant = "int8" if args.int8 else ("half" if args.half else None)
+    suffix = f"_{quant}" if quant else ""
     store_path = os.path.join(args.workdir, f"store_{args.mode}{suffix}")
     from acoss_tpu.data.descstore import DescriptorStore
     if not os.path.exists(os.path.join(store_path, DescriptorStore.META)):
         t0 = time.time()
-        desc = _make_store(store_path, n, L, sdim, half=args.half)
+        desc = _make_store(store_path, n, L, sdim, quant=quant)
         print(f"store built: {n} songs, L={L}, ssm_dim={sdim} "
               f"({time.time() - t0:.1f}s)")
     else:

@@ -320,3 +320,122 @@ def test_half_key_decision_is_first_chunk_only(tmp_path):
                              str(tmp_path / "store_hi"),
                              chunk_songs=7, half=True, half_min_bytes=64)
     assert desc2["vec"].dtype == np.float16
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized streaming (--stream-int8)
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_bound():
+    from acoss_tpu.data.descstore import quantize_int8
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((6, 30, 40)).astype(np.float32) * \
+        (10.0 ** rng.integers(-3, 3, size=(6, 1, 1)))
+    q, s = quantize_int8(v)
+    assert q.dtype == np.int8 and s.shape == (6,)
+    back = q.astype(np.float32) * s[:, None, None]
+    amax = np.abs(v).reshape(6, -1).max(axis=1)
+    # symmetric 127-level quantization: error <= scale/2 per element
+    assert (np.abs(back - v).reshape(6, -1).max(axis=1)
+            <= amax / 127.0 / 2 + 1e-7).all()
+    # all-zero songs dequantize to exact zeros
+    qz, sz = quantize_int8(np.zeros((2, 4, 4), np.float32))
+    np.testing.assert_array_equal(qz, 0)
+    np.testing.assert_array_equal(sz, 1.0)
+
+
+def test_upcast_stream_dequantizes_and_drops_companions():
+    import jax.numpy as jnp
+
+    from acoss_tpu.data.descstore import quantize_int8, upcast_stream
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((4, 8, 8)).astype(np.float32)
+    q, s = quantize_int8(v)
+    d = {"ssms": jnp.asarray(q), "ssms@qscale": jnp.asarray(s),
+         "half": jnp.asarray(v[:, 0], jnp.float16),
+         "length": jnp.full(4, 7, jnp.int32)}
+    out = upcast_stream(d)
+    assert set(out) == {"ssms", "half", "length"}
+    assert out["ssms"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out["ssms"]), v, atol=2e-2)
+    assert out["half"].dtype == jnp.float32
+    assert out["length"].dtype == jnp.int32
+
+
+def test_int8_store_layout_and_sweeps(tmp_path):
+    """extract_streamed(quant='int8'): heavy fp32 keys land as int8 +
+    @qscale companions, and the plain/hybrid sweeps dequantize on device
+    so scores differ from fp32 only by input quantization."""
+    fs = _fake_fs(20)
+    alg = WideDotAlg()
+    ref = run_pairwise(alg, alg.extract_descriptors(fs), 20, tile=4)
+
+    desc = extract_streamed(alg, fs, str(tmp_path / "store"),
+                            chunk_songs=7, quant="int8")
+    assert desc["vec"].dtype == np.int8
+    assert desc["vec@qscale"].dtype == np.float32
+    assert desc["length"].dtype == np.int32
+    scale = np.abs(ref["main"]).max()
+
+    got = run_pairwise(alg, desc, 20, tile=4)
+    np.testing.assert_allclose(got["main"], ref["main"],
+                               atol=2e-2 * scale)
+
+    from acoss_tpu.benchmarking.harness import run_pairwise_hybrid
+    Ds = run_pairwise_hybrid(alg, desc, 20, panel_songs=8, tile=4)
+    np.testing.assert_allclose(np.asarray(Ds["main"]), ref["main"],
+                               atol=2e-2 * scale)
+
+
+def test_int8_store_real_algorithm_map_unchanged(tmp_path):
+    """Serra09 over an int8 store: retrieval stats on the planted-clique
+    corpus match the fp32 store (quantization sits far below the
+    kNN-binarize decision margins)."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.benchmarking.evaluation import eval_statistics
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=5, clique_size=2, seed=21)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    D_ref = run_pairwise(algo, algo.extract_descriptors(fs),
+                         fs.n_songs, tile=4)
+    store = extract_streamed(algo, fs, str(tmp_path / "store"),
+                             chunk_songs=5, quant="int8",
+                             half_min_bytes=256)
+    assert any(v.dtype == np.int8 for v in store.values())
+    assert store["length"].dtype == np.int32
+    Ds = run_pairwise(algo, store, fs.n_songs, tile=4)
+    for k in D_ref:
+        s_ref = eval_statistics(D_ref[k], fs.labels)
+        s_q = eval_statistics(Ds[k], fs.labels)
+        assert s_q.map == s_ref.map, k
+
+
+def test_stream_consistency_matrix(tmp_path):
+    """check_stream_consistency: reusing a store at HIGHER precision
+    than it holds raises; lower just notes and proceeds."""
+    from acoss_tpu.data.descstore import (check_stream_consistency,
+                                          store_quant)
+
+    fs = _fake_fs(10)
+    alg = WideDotAlg()
+    stores = {
+        None: extract_streamed(alg, fs, str(tmp_path / "s32"),
+                               chunk_songs=5),
+        "half": extract_streamed(alg, fs, str(tmp_path / "s16"),
+                                 chunk_songs=5, quant="half"),
+        "int8": extract_streamed(alg, fs, str(tmp_path / "s8"),
+                                 chunk_songs=5, quant="int8"),
+    }
+    rank = {None: 0, "half": 1, "int8": 2}
+    for have, d in stores.items():
+        assert store_quant(d) == have
+        for want in (None, "half", "int8"):
+            if rank[have] > rank[want]:
+                with pytest.raises(ValueError):
+                    check_stream_consistency(d, want, "p")
+            else:
+                check_stream_consistency(d, want, "p")
