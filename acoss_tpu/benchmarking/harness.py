@@ -534,6 +534,7 @@ def run_pairwise_bucketed(
     stream_chunk: int = 256,
     stream_half: bool = False,
     stream_quant: str | None = None,
+    stream_min_bytes: int = 65536,
     device_resident: bool | None = None,
     checkpoint_every: int = 16,
     return_perm: bool = False,
@@ -611,7 +612,7 @@ def run_pairwise_bucketed(
                     descs.append(extract_streamed(
                         algorithm, fss.subset(np.arange(lo, hi)), path,
                         chunk_songs=stream_chunk, verbose=verbose,
-                        quant=quant))
+                        quant=quant, half_min_bytes=stream_min_bytes))
     else:
         # ONE whole-corpus extraction on the sorted fs, then split into
         # buckets by row slice + trailing-zero axis-1 truncation —

@@ -30,5 +30,13 @@ run b_fp16_p256 python scripts/hybrid_dryrun.py --mode measure \
     --songs 256 --panels 1 --panel-songs 256 --half --keep
 run b_fp32_p128_prefetch python scripts/hybrid_dryrun.py --mode measure \
     --songs 256 --panels 2 --keep
+run b_int8_p128 python scripts/hybrid_dryrun.py --mode measure \
+    --songs 256 --panels 2 --int8 --keep
+run b_int8_p256 python scripts/hybrid_dryrun.py --mode measure \
+    --songs 256 --panels 1 --panel-songs 256 --int8 --keep
 run b_bench python bench.py
+STEP_TIMEOUT=5400 run b_capstone python scripts/covers80_scale.py \
+    ftm2d strucshingles serra09 simple chenfusion strucftm2d tgalg \
+    anfscattering serra09_full structurelaplacian earlyfusion earlysnf \
+    strucscattering
 echo "=== queue done ($(date -u +%H:%M:%S))"

@@ -439,3 +439,36 @@ def test_stream_consistency_matrix(tmp_path):
                     check_stream_consistency(d, want, "p")
             else:
                 check_stream_consistency(d, want, "p")
+
+
+def test_bucketed_streamed_int8(tmp_path):
+    """Buckets + per-bucket int8 disk stores (stream_quant='int8'):
+    cross-bucket axis-1 padding must skip the 1-D @qscale companions and
+    retrieval stats must match the fp32 bucketed sweep."""
+    from acoss_tpu.benchmarking.algorithms import Serra09
+    from acoss_tpu.benchmarking.evaluation import eval_statistics
+    from acoss_tpu.benchmarking.harness import run_pairwise_bucketed
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=5, clique_size=2, seed=9)
+    algo = Serra09(chroma_type="hpcp", downsample_fac=4,
+                   pad_to_multiple=8)
+    order = np.argsort(algo.bucket_lengths(fs), kind="stable")
+    fs = fs.subset(order)
+    D_ref, _, _ = run_pairwise_bucketed(
+        algo, fs, n_buckets=3, tile=4,
+        stream_dir=str(tmp_path / "s32"), return_desc=True,
+        return_perm=True)
+
+    Ds, _, _ = run_pairwise_bucketed(
+        algo, fs, n_buckets=3, tile=4, stream_dir=str(tmp_path / "s8"),
+        stream_quant="int8", stream_chunk=4, stream_min_bytes=256,
+        return_desc=True, return_perm=True)
+    from acoss_tpu.data.descstore import DescriptorStore
+    b0 = DescriptorStore.open(
+        str(tmp_path / "s8" / "desc" / "bucket_0000"))
+    assert any(k.endswith("@qscale") for k in b0), sorted(b0)
+    for k in D_ref:
+        s_ref = eval_statistics(np.asarray(D_ref[k]), fs.labels)
+        s_q = eval_statistics(np.asarray(Ds[k]), fs.labels)
+        assert s_q.map == s_ref.map, k
