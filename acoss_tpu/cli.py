@@ -446,6 +446,41 @@ def cmd_coverstats(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    import json as _json
+
+    from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS
+    from acoss_tpu.serving import CoverIndex
+
+    cls = ALL_ALGORITHMS[args.algorithm]
+    kwargs = {}
+    if args.chroma_type and \
+            "chroma_type" in cls.__init__.__code__.co_varnames:
+        kwargs["chroma_type"] = args.chroma_type
+    algo = cls(**kwargs)
+
+    if args.index_dir and os.path.exists(
+            os.path.join(args.index_dir, CoverIndex.META)):
+        print(f"loading index from {args.index_dir}")
+        index = CoverIndex.load(algo, args.index_dir)
+    else:
+        fs = _load_featureset(args.datapath)
+        print(f"building index over {fs.n_songs} songs")
+        index = CoverIndex.build(algo, fs, quant=args.quant,
+                                 tile=args.tile)
+        if args.index_dir:
+            index.save(args.index_dir)
+            print(f"index saved to {args.index_dir}")
+
+    qfs = _load_featureset(args.querypath)
+    ranked = index.top_k(qfs, k=args.top,
+                         similarity_type=args.similarity_type)
+    for qi, rows in enumerate(ranked):
+        qid = str(qfs.track_ids[qi])
+        print(_json.dumps({"query": qid, "top": rows}))
+    return 0
+
+
 def main(argv=None) -> int:
     # Honor an explicit JAX_PLATFORMS request through the config API as
     # well: preinstalled TPU plugins can ignore the env var, and a user
@@ -570,6 +605,30 @@ def main(argv=None) -> int:
     c.add_argument("--no-figures", action="store_true",
                    help="skip SVG figure emission")
     c.set_defaults(fn=cmd_coverstats)
+
+    q = sub.add_parser(
+        "query",
+        help="serve 1xN cover-song retrieval against a prebuilt corpus "
+             "index (build once, query many times)")
+    q.add_argument("-a", "--algorithm", required=True)
+    q.add_argument("-d", "--datapath", required=True,
+                   help="corpus FeatureSet .npz or h5 dir (ignored when "
+                        "--index-dir already holds a built index)")
+    q.add_argument("-q", "--querypath", required=True,
+                   help="query FeatureSet .npz or h5 dir")
+    q.add_argument("-c", "--chroma_type", default="hpcp")
+    q.add_argument("-t", "--tile", type=int, default=None)
+    q.add_argument("--index-dir", default=None,
+                   help="persist/reuse the index here (skips corpus "
+                        "extraction on later invocations)")
+    q.add_argument("--quant", choices=("half", "int8"), default=None,
+                   help="quantize the pinned corpus descriptors "
+                        "(2x/4x HBM; on-device dequant)")
+    q.add_argument("--top", type=int, default=10)
+    q.add_argument("--similarity-type", default=None,
+                   help="channel to rank by (default: the algorithm's "
+                        "first similarity type)")
+    q.set_defaults(fn=cmd_query)
 
     args = parser.parse_args(argv)
     return args.fn(args)
