@@ -35,6 +35,8 @@ run b_int8_p128 python scripts/hybrid_dryrun.py --mode measure \
 run b_int8_p256 python scripts/hybrid_dryrun.py --mode measure \
     --songs 256 --panels 1 --panel-songs 256 --int8 --keep
 run b_bench python bench.py
+run b_serving python scripts/serving_latency.py
+run b_serving_int8 python scripts/serving_latency.py --quant int8
 STEP_TIMEOUT=5400 run b_capstone python scripts/covers80_scale.py \
     ftm2d strucshingles serra09 simple chenfusion strucftm2d tgalg \
     anfscattering serra09_full structurelaplacian earlyfusion earlysnf \
