@@ -166,7 +166,11 @@ def test_onset_clicks_and_fingerprint(tmp_path):
     fp3 = chromaprint(y + 0.2 * tone(392.0, 4.0))
     assert fp1 == fp2          # deterministic
     assert fp1 != fp3          # different content -> different print
-    assert len(fp1) > 50
+    # the AcoustID container round-trips (test_fingerprint.py pins the
+    # bitstream itself)
+    from acoss_tpu.features.fingerprint import decode_chromaprint
+    sub, algo_byte = decode_chromaprint(fp1)
+    assert algo_byte == 1 and len(sub) > 5
 
 
 def test_tempogram_aggregated_batch_matches_per_song(rng):
