@@ -35,14 +35,16 @@ def _ssm_pair(c, mf):
     return crp.get_ssm(c), crp.get_ssm(mf)
 
 
-@functools.partial(jax.jit, static_argnames=("dim", "niters"))
-def _dna_device(Dstack, n, K, dim, niters=5):
+@functools.partial(
+    jax.jit, static_argnames=("dim", "niters", "k_static_max"))
+def _dna_device(Dstack, n, K, dim, niters=5, k_static_max=None):
     """SNF over the valid (n, n) block (n, K traced) + traced-length
-    resize of the fused affinity to (dim, dim)."""
+    resize of the fused affinity to (dim, dim). `k_static_max` bounds K
+    per padded-shape group (see `fusion._smallest_sorted`)."""
     from acoss_tpu.ops.structure import resize_dynamic_batch
 
     fused = fusion.snf_padded(Dstack, K, niters=niters, length=n,
-                              sequential=True)
+                              sequential=True, k_static_max=k_static_max)
     return resize_dynamic_batch(fused[None], jnp.asarray([n]), dim)[0]
 
 
@@ -78,8 +80,11 @@ def get_shape_dna(hpcp: np.ndarray, mfcc: np.ndarray,
     mpad[:n] = mf[:n]
     DChroma, DMFCC = _ssm_pair(jnp.asarray(cpad), jnp.asarray(mpad))
     K = max(int(round(n * 0.01)), 2)
+    # bound K by the bucket maximum (n <= npad), constant per shape group
+    kmax = max(int(round(npad * 0.01)), 2)
     W = np.asarray(_dna_device(jnp.stack([DChroma, DMFCC]),
-                               jnp.int32(n), jnp.int32(K), dim))
+                               jnp.int32(n), jnp.int32(K), dim,
+                               k_static_max=kmax))
     return {"w": _rw_laplacian_eigvals(W, neigs), "W": W}
 
 

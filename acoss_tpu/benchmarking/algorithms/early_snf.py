@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from acoss_tpu.benchmarking.algorithms.serra09 import Serra09
 from acoss_tpu.ops import alignment, crp, fusion
@@ -63,8 +64,14 @@ class EarlySNF(Serra09):
         ssma_c = crp.sliding_csm_padded(crp.get_csm(ch1, ch1), m)
         ssmb_c = crp.sliding_csm_padded(
             crp.get_csm(c["chroma"], c["chroma"]), m)
+        # static neighbor bound: K = kappa*(l1e+l2e) <= kappa*(padded
+        # effective dims) — turns fusion's row selections into bounded
+        # lax.top_k instead of full-width row sorts (bit-identical)
+        kmax = int(np.ceil(
+            self.kappa * (ssma_c.shape[0] + ssmb_c.shape[0]))) + 1
         Ws = [fusion.get_WCSMSSM(ssma_c, ssmb_c, csm_c, K,
-                                 m_len=l1e, n_len=l2e)]
+                                 m_len=l1e, n_len=l2e,
+                                 k_static_max=kmax)]
         if self.do_ssms:
             # ssms arrive PRE-CENTERED by tile_scores (tile-shared
             # origin — pair-independent operands; see
@@ -74,9 +81,11 @@ class EarlySNF(Serra09):
             ssma_s = crp.get_ssm(r["ssms"])
             ssmb_s = crp.get_ssm(c["ssms"])
             Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
-                                         m_len=l1e, n_len=l2e))
+                                         m_len=l1e, n_len=l2e,
+                                         k_static_max=kmax))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
-                              reg_diag=True, sequential=self.sequential)
+                              reg_diag=True, sequential=self.sequential,
+                              k_static_max=kmax)
         Lp = csm_c.shape[0]
         cross = -fused[:Lp, Lp:]   # similarity -> "distance" for binarize
         Bsnf = crp.csm_to_binary_mutual(cross, self.kappa, l1e, l2e)

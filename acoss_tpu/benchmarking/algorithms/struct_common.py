@@ -213,9 +213,12 @@ def structural_fused_w_all(
             Ks = np.array(
                 [autotune_k(K, max(int(n), 2)) for n in lengths], np.int32)
             with stages.stage("struct:fused_w"):
+                # bound Ks by the npad-group maximum (monotone in n), so
+                # the static bound is constant per compiled shape group
                 W = stages.block(fused_w_batch(
                     tuple(feats), lengths, Ks, kinds, wins_per_block,
-                    niters=niters, sequential=sequential))
+                    niters=niters, sequential=sequential,
+                    k_static_max=autotune_k(K, npad)))
             if consume is not None:
                 with stages.stage("struct:consume"):
                     outs = consume(W, lengths,

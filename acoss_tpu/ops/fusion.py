@@ -24,37 +24,72 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _BIG = 1e30
 
 
-def _kth_smallest(D: jax.Array, k: jax.Array) -> jax.Array:
-    """Per-row k-th smallest value (1-indexed), k may be traced. (M, 1)."""
-    M, N = D.shape
-    srt = jnp.sort(D, axis=1)
-    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, N)
+def _host_int(x) -> int | None:
+    """x as a Python int when it is a host scalar, else None (traced)."""
+    return int(x) if isinstance(x, (int, np.integer)) else None
+
+
+def _smallest_sorted(D: jax.Array, k_static_max: int | None) -> jax.Array:
+    """Ascending per-row smallest values.
+
+    With a static bound k < N, only the exact k smallest values per row
+    are materialized via `lax.top_k` — on TPU a bounded partial selection
+    instead of a full-width bitonic row sort (the same values in the same
+    ascending order, so every consumer below is bit-identical). Without a
+    bound (or bound >= N) this is a plain row sort.
+    """
+    N = D.shape[1]
+    if k_static_max is None or k_static_max >= N:
+        return jnp.sort(D, axis=1)
+    neg, _ = jax.lax.top_k(-D, max(int(k_static_max), 1))
+    return -neg
+
+
+def _kth_smallest(D: jax.Array, k: jax.Array,
+                  k_static_max: int | None = None) -> jax.Array:
+    """Per-row k-th smallest value (1-indexed), k may be traced. (M, 1).
+
+    `k_static_max` is a STATIC upper bound on every runtime k; when given,
+    runtime k values above it are clamped to it (callers own the bound).
+    """
+    M = D.shape[0]
+    srt = _smallest_sorted(D, k_static_max)
+    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, srt.shape[1])
     return jnp.take_along_axis(srt, kk[:, None] - 1, axis=1)
 
 
-def _mean_k_smallest(D: jax.Array, k: jax.Array) -> jax.Array:
+def _mean_k_smallest(D: jax.Array, k: jax.Array,
+                     k_static_max: int | None = None) -> jax.Array:
     """Per-row mean of the k smallest values, k possibly traced. (M,)."""
-    M, N = D.shape
-    srt = jnp.sort(D, axis=1)
-    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, N)
+    M = D.shape[0]
+    srt = _smallest_sorted(D, k_static_max)
+    kk = jnp.clip(jnp.broadcast_to(k, (M,)), 1, srt.shape[1])
     csum = jnp.cumsum(srt, axis=1)
     tot = jnp.take_along_axis(csum, kk[:, None] - 1, axis=1)[:, 0]
     return tot / kk.astype(D.dtype)
 
 
 def get_W(D: jax.Array, K, Mu: float = 0.5,
-          length: jax.Array | None = None) -> jax.Array:
+          length: jax.Array | None = None,
+          k_static_max: int | None = None) -> jax.Array:
     """Adaptive-bandwidth Gaussian affinity from a self-dissimilarity matrix.
 
     Parity: `SimilarityFusion.py:50-71` (Eq. 1 of the SNF paper): symmetrize,
     zero diagonal, estimate per-point radius as the mean of the K+1 smallest
     row entries (scaled by (K+1)/K to exclude the diagonal zero),
     W = exp(-D^2 / (2 (Mu * (r_i + r_j + D_ij) / 3)^2)).
+
+    `k_static_max`: static upper bound on runtime K (auto-derived when K is
+    a host int) — bounds the neighbor selection to a `lax.top_k` instead of
+    a full row sort, bit-identically (see `_smallest_sorted`).
     """
+    if k_static_max is None:
+        k_static_max = _host_int(K)
     n = D.shape[0]
     DSym = 0.5 * (D + D.T)
     DSym = DSym * (1.0 - jnp.eye(n, dtype=D.dtype))
@@ -65,7 +100,10 @@ def get_W(D: jax.Array, K, Mu: float = 0.5,
     else:
         valid = None
         Dknn = DSym
-    mean_dist = _mean_k_smallest(Dknn, K + 1) * (K + 1) / jnp.maximum(K, 1)
+    mean_dist = _mean_k_smallest(
+        Dknn, K + 1,
+        None if k_static_max is None else k_static_max + 1,
+    ) * (K + 1) / jnp.maximum(K, 1)
     eps = (mean_dist[:, None] + mean_dist[None, :] + DSym) / 3.0
     denom = 2.0 * (Mu * eps) ** 2
     denom = jnp.where(denom == 0, 1.0, denom)
@@ -77,20 +115,30 @@ def get_W(D: jax.Array, K, Mu: float = 0.5,
 
 def get_WCSM(CSMAB: jax.Array, k1, k2, Mu: float = 0.5,
              row_length: jax.Array | None = None,
-             col_length: jax.Array | None = None) -> jax.Array:
+             col_length: jax.Array | None = None,
+             k_static_max: int | None = None) -> jax.Array:
     """Exponential affinity for a CROSS-dissimilarity matrix.
 
     Parity: `SimilarityFusion.py:74-89`: row radius = mean of k2 smallest in
     the row; column radius = mean of k1 smallest in the column.
+
+    `k_static_max`: static upper bound on max(k1, k2) at runtime
+    (auto-derived when both are host ints); see `get_W`.
     """
+    if k_static_max is None:
+        b1, b2 = _host_int(k1), _host_int(k2)
+        if b1 is not None and b2 is not None:
+            k_static_max = max(b1, b2)
     M, N = CSMAB.shape
     C = CSMAB
     if col_length is not None:
         C = jnp.where(jnp.arange(N)[None, :] < col_length, C, _BIG)
     if row_length is not None:
         C = jnp.where(jnp.arange(M)[:, None] < row_length, C, _BIG)
-    m1 = _mean_k_smallest(C, jnp.asarray(k2, jnp.int32))        # rows
-    m2 = _mean_k_smallest(C.T, jnp.asarray(k1, jnp.int32))      # cols
+    m1 = _mean_k_smallest(C, jnp.asarray(k2, jnp.int32),
+                          k_static_max)                         # rows
+    m2 = _mean_k_smallest(C.T, jnp.asarray(k1, jnp.int32),
+                          k_static_max)                         # cols
     eps = (m1[:, None] + m2[None, :] + CSMAB) / 3.0
     denom = 2.0 * (Mu * eps) ** 2
     # zero-denominator guard, same convention as get_W: an exactly-zero
@@ -116,7 +164,8 @@ def setup_WCSMSSM(WSSMA, WSSMB, WCSMAB):
 
 
 def get_WCSMSSM(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
-                m_len=None, n_len=None):
+                m_len=None, n_len=None,
+                k_static_max: int | None = None):
     """Cross-affinity parent matrix with the neighbor budget split
     proportionally between the SSM and CSM parts of each row.
 
@@ -124,7 +173,12 @@ def get_WCSMSSM(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
       k1 = K * M / (M + N); k2 = K - k1  (true lengths when padded).
     Padded layout: A occupies [0:Lp), B occupies [Lp:2Lp) (real prefix of
     each), so the fused cross block is always at [0:Lp, Lp:2Lp).
+
+    `k_static_max`: static upper bound on runtime K (auto-derived when K
+    is a host int); k1, k2 <= K so it bounds every inner selection.
     """
+    if k_static_max is None:
+        k_static_max = _host_int(K)
     M = SSMA.shape[0]
     N = SSMB.shape[0]
     m = jnp.asarray(M if m_len is None else m_len, jnp.int32)
@@ -132,11 +186,14 @@ def get_WCSMSSM(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
     K = jnp.asarray(K, jnp.int32)
     k1 = (K * m) // jnp.maximum(m + n, 1)
     k2 = K - k1
-    WSSMA = get_W(SSMA, k1, Mu, length=None if m_len is None else m)
-    WSSMB = get_W(SSMB, k2, Mu, length=None if n_len is None else n)
+    WSSMA = get_W(SSMA, k1, Mu, length=None if m_len is None else m,
+                  k_static_max=k_static_max)
+    WSSMB = get_W(SSMB, k2, Mu, length=None if n_len is None else n,
+                  k_static_max=k_static_max)
     WCSMAB = get_WCSM(CSMAB, k1, k2, Mu,
                       None if m_len is None else m,
-                      None if n_len is None else n)
+                      None if n_len is None else n,
+                      k_static_max=k_static_max)
     return setup_WCSMSSM(WSSMA, WSSMB, WCSMAB)
 
 
@@ -154,16 +211,18 @@ def get_P(W: jax.Array, reg_diag: bool = False) -> jax.Array:
     return W / row[:, None]
 
 
-def get_S(W: jax.Array, K) -> jax.Array:
+def get_S(W: jax.Array, K, k_static_max: int | None = None) -> jax.Array:
     """Row-kNN-truncated, L1-row-normalized version of W (kept dense — the
     MXU prefers a dense masked matmul over sparse ops).
 
     Parity: `SimilarityFusion.py:157-177` (neighbors include the element
     itself); kNN by rank threshold (ties may keep a few extra entries).
     """
+    if k_static_max is None:
+        k_static_max = _host_int(K)
     n = W.shape[0]
     K = jnp.asarray(K, jnp.int32)
-    thresh = -_kth_smallest(-W, K)          # k-th LARGEST per row
+    thresh = -_kth_smallest(-W, K, k_static_max)  # k-th LARGEST per row
     mask = W >= thresh
     V = jnp.where(mask, W, 0.0)
     norm = jnp.sum(V, axis=1)
@@ -171,10 +230,9 @@ def get_S(W: jax.Array, K) -> jax.Array:
     return V / norm[:, None]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
 def snf_ws(Ws: jax.Array, K, niters: int = 20,
-           reg_diag: bool = True, sequential: bool = False) -> jax.Array:
+           reg_diag: bool = True, sequential: bool = False,
+           k_static_max: int | None = None) -> jax.Array:
     """Cross-diffusion of a stack of affinity matrices.
 
     Parity: `SimilarityFusion.py:202-277`:
@@ -194,12 +252,26 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
     Args:
       Ws: (F, n, n) stacked affinity matrices.
       K: neighbors for the S truncation (may be traced).
+      k_static_max: static upper bound on runtime K (auto-derived when K
+        is a host int) — see `get_W`.
     Returns: fused (n, n) similarity matrix.
     """
+    if k_static_max is None:
+        k_static_max = _host_int(K)
+    return _snf_ws_impl(Ws, K, niters=niters, reg_diag=reg_diag,
+                        sequential=sequential, k_static_max=k_static_max)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+def _snf_ws_impl(Ws: jax.Array, K, niters: int = 20,
+                 reg_diag: bool = True, sequential: bool = False,
+                 k_static_max: int | None = None) -> jax.Array:
     Ws = jnp.asarray(Ws)
     F = Ws.shape[0]
     Ps = jax.vmap(lambda W: get_P(W, reg_diag))(Ws)
-    Ss = jax.vmap(lambda W: get_S(W, K))(Ws)
+    Ss = jax.vmap(lambda W: get_S(W, K, k_static_max))(Ws)
 
     def diffuse(S_i, mean_others):
         nxt = jnp.einsum("ij,jk,lk->il", S_i, mean_others, S_i,
@@ -224,32 +296,56 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
     return jnp.mean(Ps, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
 def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True,
-        sequential: bool = False):
+        sequential: bool = False, k_static_max: int | None = None):
     """Full SNF from a stack of DISTANCE matrices
     (`SimilarityFusion.py:279-287`): W each, then cross-diffuse.
 
     Returns (Ws, fused similarity matrix).
     """
-    Ds = jnp.asarray(Ds)
-    Ws = jax.vmap(lambda D: get_W(D, K))(Ds)
-    return Ws, snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag,
-                      sequential=sequential)
+    if k_static_max is None:
+        k_static_max = _host_int(K)
+    return _snf_impl(Ds, K, niters=niters, reg_diag=reg_diag,
+                     sequential=sequential, k_static_max=k_static_max)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("niters", "reg_diag", "sequential"))
+    jax.jit,
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+def _snf_impl(Ds, K=5, niters: int = 20, reg_diag: bool = True,
+              sequential: bool = False, k_static_max: int | None = None):
+    Ds = jnp.asarray(Ds)
+    Ws = jax.vmap(lambda D: get_W(D, K, k_static_max=k_static_max))(Ds)
+    return Ws, _snf_ws_impl(Ws, K=K, niters=niters, reg_diag=reg_diag,
+                            sequential=sequential,
+                            k_static_max=k_static_max)
+
+
 def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
-               length=None, sequential: bool = False):
+               length=None, sequential: bool = False,
+               k_static_max: int | None = None):
     """`snf` over zero-padded distance matrices with a valid-prefix length:
     affinities are masked to the valid block (zero rows/cols propagate
     exactly through get_P/get_S/diffusion). One compile per padded shape —
     use with bucket-padded inputs so a whole corpus compiles O(few) shapes
     instead of one per song."""
+    if k_static_max is None:
+        k_static_max = _host_int(K)
+    return _snf_padded_impl(Ds, K, niters=niters, reg_diag=reg_diag,
+                            length=length, sequential=sequential,
+                            k_static_max=k_static_max)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+def _snf_padded_impl(Ds: jax.Array, K, niters: int = 20,
+                     reg_diag: bool = True, length=None,
+                     sequential: bool = False,
+                     k_static_max: int | None = None):
     Ds = jnp.asarray(Ds)
     K = jnp.asarray(K, jnp.int32)
-    Ws = jax.vmap(lambda D: get_W(D, K, length=length))(Ds)
-    return snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag,
-                  sequential=sequential)
+    Ws = jax.vmap(lambda D: get_W(D, K, length=length,
+                                  k_static_max=k_static_max))(Ds)
+    return _snf_ws_impl(Ws, K=K, niters=niters, reg_diag=reg_diag,
+                        sequential=sequential, k_static_max=k_static_max)

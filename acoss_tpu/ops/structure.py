@@ -88,11 +88,13 @@ def stacked_cosine(x: jax.Array, win: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kinds", "win", "niters", "reg_diag", "sequential"))
+    static_argnames=("kinds", "win", "niters", "reg_diag", "sequential",
+                     "k_static_max"))
 def fused_w_batch(feats: tuple, lengths: jax.Array, Ks: jax.Array,
                   kinds: tuple, win: int, niters: int = 10,
                   reg_diag: bool = True,
-                  sequential: bool = True) -> jax.Array:
+                  sequential: bool = True,
+                  k_static_max: int | None = None) -> jax.Array:
     """Batched fused structural affinity matrices.
 
     Args:
@@ -101,6 +103,9 @@ def fused_w_batch(feats: tuple, lengths: jax.Array, Ks: jax.Array,
       lengths: (B,) valid row counts (shared across features; callers
         truncate each song to the min feature length first).
       Ks: (B,) SNF neighbor budgets (autotune_k, may vary per song).
+      k_static_max: static upper bound on every Ks value — bounds the
+        fusion neighbor selections to `lax.top_k` instead of full row
+        sorts (bit-identical; see `fusion._smallest_sorted`).
       kinds: per-feature distance kind, "euclidean" | "cosine".
       win: wins_per_block delay-embedding depth.
     Returns: (B, npad, npad) fused W; rows/cols beyond length are zero
@@ -115,9 +120,11 @@ def fused_w_batch(feats: tuple, lengths: jax.Array, Ks: jax.Array,
                 Ds.append(stacked_euclidean(x, win))
         Ds = jnp.stack(Ds)
         Ws = jax.vmap(
-            lambda D: fusion.get_W(D, K, length=length))(Ds)
+            lambda D: fusion.get_W(D, K, length=length,
+                                   k_static_max=k_static_max))(Ds)
         return fusion.snf_ws(Ws, K=K, niters=niters, reg_diag=reg_diag,
-                             sequential=sequential)
+                             sequential=sequential,
+                             k_static_max=k_static_max)
 
     return jax.vmap(per_song, in_axes=((0,) * len(feats), 0, 0))(
         tuple(feats), jnp.asarray(lengths, jnp.int32),
