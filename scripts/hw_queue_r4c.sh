@@ -25,6 +25,10 @@ run() {
 
 run c_fp16_p128 python scripts/hybrid_dryrun.py --mode measure \
     --songs 256 --panels 2 --half --keep
+# int8 is the compute-bound configuration (b_int8_p128: 724.6 ms/tile
+# with upload mostly hidden) — the cleanest view of the fusion win
+run c_int8_p128 python scripts/hybrid_dryrun.py --mode measure \
+    --songs 256 --panels 2 --int8 --keep
 STEP_TIMEOUT=5400 run c_snf_algos python scripts/covers80_scale.py \
     earlysnf earlyfusion chenfusion strucftm2d strucshingles \
     structurelaplacian strucscattering
