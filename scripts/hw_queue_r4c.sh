@@ -32,4 +32,11 @@ run c_int8_p128 python scripts/hybrid_dryrun.py --mode measure \
 STEP_TIMEOUT=5400 run c_snf_algos python scripts/covers80_scale.py \
     earlysnf earlyfusion chenfusion strucftm2d strucshingles \
     structurelaplacian strucscattering
+# serving crash repro (b_serving{,_int8} both died at the 16-song query
+# batch extraction with "TPU worker crashed"): discriminate pinned-index
+# size vs the 16-batch extraction program itself
+run c_serving_q16_small python scripts/serving_latency.py \
+    --songs 32 --queries 16 --reps 3
+run c_serving_q4 python scripts/serving_latency.py \
+    --songs 160 --queries 4 --reps 5
 echo "=== queue done ($(date -u +%H:%M:%S))"
