@@ -88,7 +88,6 @@ class CoverIndex:
             else:
                 corpus[k] = jax.device_put(np.pad(np.asarray(v), pad))
         self._corpus = corpus
-        self._desc_host = desc
         self._query_fn = None
 
     # ------------------------------------------------------------------
@@ -113,7 +112,11 @@ class CoverIndex:
         ids) so serving restarts skip extraction."""
         os.makedirs(path, exist_ok=True)
         store = DescriptorStore(path, self.n_songs)
-        for k, v in self._desc_host.items():
+        # slice the save copy out of the padded corpus: keeping the
+        # unpadded originals around would pin device-resident leaves
+        # (e.g. Serra09 ssms) in HBM twice for the index's lifetime;
+        # the D2H readback is paid here, only when saving
+        for k, v in self._corpus.items():
             store.write(k, 0, np.asarray(v)[:self.n_songs])
         store.flush()
         with open(os.path.join(path, self.META), "w") as f:
