@@ -141,7 +141,7 @@ def onset_pi_descriptor(onsets: np.ndarray,
     return np.concatenate([PIUp.ravel(), PIDown.ravel()])
 
 
-def _paired_members(fs, feature: str):
+def _paired_members(fs):
     """label -> first two member song indices, in dataset order
     (the reference's pairs dict, `coverstats.py:10-37`)."""
     pairs: dict = {}
@@ -165,7 +165,7 @@ def onset_timing_study(fs, feature: str = "onsets",
     sets: diagonal entries are true-cover distances, off-diagonal are
     false-cover distances; compared with a two-sample KS test.
     """
-    pairs = _paired_members(fs, feature)
+    pairs = _paired_members(fs)
     labels = sorted(pairs)
     Is1, Is2 = [], []
     for label in labels:
@@ -187,15 +187,15 @@ def onset_timing_study(fs, feature: str = "onsets",
     ks = ks_2samp(dcover, dfalse) if len(dcover) > 1 else None
     return {"labels": labels, "Is1": Is1, "Is2": Is2, "D": D,
             "dcover": dcover, "dfalse": dfalse, "ks": ks,
-            "mean_cover": float(dcover.mean()) if len(dcover) else np.nan,
-            "mean_false": float(dfalse.mean()) if len(dfalse) else np.nan}
+            "mean_cover": float(dcover.mean()) if len(dcover) else None,
+            "mean_false": float(dfalse.mean()) if len(dfalse) else None}
 
 
 def onset_stdev_study(fs, feature: str = "onsets") -> dict:
     """Dataset-level tempo-curve standard-deviation study
     (`OnsetTiming.py:151-181` / getAllSTDevs): |std(y1) - std(y2)| for
     true vs false pairs, compared with a KS test."""
-    pairs = _paired_members(fs, feature)
+    pairs = _paired_members(fs)
     labels = sorted(pairs)
     stdevs = np.zeros((len(labels), 2))
     for i, label in enumerate(labels):
@@ -209,5 +209,5 @@ def onset_stdev_study(fs, feature: str = "onsets") -> dict:
     ks = ks_2samp(dcover, dfalse) if len(dcover) > 1 else None
     return {"labels": labels, "stdevs": stdevs,
             "dcover": dcover, "dfalse": dfalse, "ks": ks,
-            "mean_cover": float(dcover.mean()) if len(dcover) else np.nan,
-            "mean_false": float(dfalse.mean()) if len(dfalse) else np.nan}
+            "mean_cover": float(dcover.mean()) if len(dcover) else None,
+            "mean_false": float(dfalse.mean()) if len(dfalse) else None}

@@ -433,13 +433,21 @@ def _bucket_edges(n_songs: int, n_buckets: int, tile: int) -> np.ndarray:
 def _pad_tile_pair_axis1(row: dict, col: dict):
     """Pad each >=2-D descriptor of a cross-bucket tile pair up to the
     pair's max axis-1 extent (static under jit: one trace per bucket-pair
-    shape combination)."""
+    shape combination).
+
+    Iterates the UNION of the two key sets: per-bucket streamed stores
+    decide the quantized-key set from bucket-local padded widths
+    (`extract_streamed`), so a near-threshold key can carry a `@qscale`
+    companion in one bucket but not the other. One-sided keys pass
+    through on their own side — `_upcast_half` then dequantizes each
+    side independently, so mixed-precision bucket pairs score exactly."""
     import jax.numpy as jnp
 
     out_r, out_c = {}, {}
-    for k in row:
-        r, c = row[k], col[k]
-        if r.ndim >= 2 and r.shape[1] != c.shape[1]:
+    for k in sorted(set(row) | set(col)):
+        r, c = row.get(k), col.get(k)
+        if r is not None and c is not None \
+                and r.ndim >= 2 and r.shape[1] != c.shape[1]:
             L = max(r.shape[1], c.shape[1])
             if r.shape[1] < L:
                 r = jnp.pad(r, [(0, 0), (0, L - r.shape[1])]
@@ -447,7 +455,10 @@ def _pad_tile_pair_axis1(row: dict, col: dict):
             if c.shape[1] < L:
                 c = jnp.pad(c, [(0, 0), (0, L - c.shape[1])]
                             + [(0, 0)] * (c.ndim - 2))
-        out_r[k], out_c[k] = r, c
+        if r is not None:
+            out_r[k] = r
+        if c is not None:
+            out_c[k] = c
     return out_r, out_c
 
 
@@ -709,10 +720,23 @@ def run_pairwise_bucketed(
         # lengths/global vectors, never the bulk descriptors (e.g.
         # ChenFusion's `length`, `ChenFusion.py:71-80`). Pulling a
         # device-resident ssms corpus host-side here would cost minutes
-        # of D2H for data nobody reads.
-        keys = [k for k, v in descs[0].items()
-                if v[:1].nbytes <= 65536]
-        ret.append(_merge_bucket_descs(descs, order, keys=keys))
+        # of D2H for data nobody reads. Smallness is judged on the
+        # fp32-EQUIVALENT row size and each bucket's small dict is
+        # dequantized BEFORE the merge: per-bucket streamed stores may
+        # quantize different key sets, and concatenating a scaled-int8
+        # bucket with an fp32 one would corrupt the merged values.
+        from acoss_tpu.data.descstore import QSCALE, upcast_stream
+        smalls = []
+        for d in descs:
+            sd = {k: np.asarray(v) for k, v in d.items()
+                  if not k.endswith(QSCALE)
+                  and v[:1].size * 4 <= 65536}
+            for k in list(sd):
+                if sd[k].dtype == np.int8 and k + QSCALE in d:
+                    sd[k + QSCALE] = np.asarray(d[k + QSCALE])
+            smalls.append(upcast_stream(sd))
+        keys = sorted(set.intersection(*[set(s) for s in smalls]))
+        ret.append(_merge_bucket_descs(smalls, order, keys=keys))
     if return_perm:
         ret.append(perm)
     return ret[0] if len(ret) == 1 else tuple(ret)

@@ -328,9 +328,14 @@ def _cmd_benchmark_inner(args) -> int:
     return 0
 
 
+def _shard_stem(output: str) -> str:
+    """The shared naming stem for shard part files — single source for
+    both the writer (`_shard_part_path`) and the `--merge-shards` glob."""
+    return output[:-4] if output.endswith(".npz") else output
+
+
 def _shard_part_path(output: str, shard_id: int, num_shards: int) -> str:
-    stem = output[:-4] if output.endswith(".npz") else output
-    return f"{stem}.part_{shard_id}_{num_shards}.npz"
+    return f"{_shard_stem(output)}.part_{shard_id}_{num_shards}.npz"
 
 
 def cmd_extract(args) -> int:
@@ -346,9 +351,8 @@ def cmd_extract(args) -> int:
         # (the store-merge analog of the reference's shared h5 dir).
         import re as _re
 
-        stem = (args.output[:-4] if args.output.endswith(".npz")
-                else args.output)
-        paths = sorted(glob.glob(f"{stem}.part_*_*.npz"))
+        stem = _shard_stem(args.output)
+        paths = sorted(glob.glob(glob.escape(stem) + ".part_*_*.npz"))
         tags = []
         for p in paths:
             m = _re.search(r"\.part_(\d+)_(\d+)\.npz$", p)
@@ -437,6 +441,12 @@ def cmd_coverstats(args) -> int:
 
         with open(args.tags) as f:
             pair_tags = _json.load(f)
+    elif "tag" in studies:
+        print("the 'tag' study needs --tags <pair-tags.json> "
+              "(`coverstats.py:199-241` consumes per-pair auto-tag "
+              "dicts, which are not derivable from a FeatureSet)",
+              file=sys.stderr)
+        return 1
     summary = run_coverstats(
         fs, args.output, studies=studies, chroma_type=args.chroma_type,
         figures=not args.no_figures, pair_tags=pair_tags, verbose=True)

@@ -27,6 +27,19 @@ from acoss_tpu.data.descstore import (DescriptorStore, quantize_int8,
                                       upcast_stream)
 
 
+def _algo_params(algorithm) -> dict:
+    """JSON-safe snapshot of an algorithm instance's scalar/tuple
+    configuration — what `CoverIndex.load` compares to catch parameter
+    drift between index build and query time."""
+    out = {}
+    for k, v in sorted(vars(algorithm).items()):
+        if isinstance(v, tuple):
+            v = list(v)
+        if v is None or isinstance(v, (bool, int, float, str, list)):
+            out[k] = v
+    return out
+
+
 def _quantize_desc(desc: dict, quant: str | None,
                    min_bytes: int = 65536) -> dict:
     """The extract_streamed quantization layout, applied in RAM: heavy
@@ -108,9 +121,19 @@ class CoverIndex:
         return cls(algorithm, desc, fs.n_songs, ids=ids, tile=tile)
 
     def save(self, path: str) -> None:
-        """Persist to a DescriptorStore + meta (algorithm name, tile,
-        ids) so serving restarts skip extraction."""
+        """Persist to a DescriptorStore + meta (algorithm name, params,
+        tile, ids) so serving restarts skip extraction."""
         os.makedirs(path, exist_ok=True)
+        # clear debris from an interrupted or differently-configured
+        # earlier save: DescriptorStore.ensure() reopens pre-existing
+        # memmaps r+ with their OLD dtype/width, which would silently
+        # cast (fp32 into a stale int8 map) or reject the new widths;
+        # flush() would also fold orphan keys into META via listdir
+        # (same guard as `descstore.extract_streamed`)
+        for fn in os.listdir(path):
+            if fn.endswith(".npy") or fn in (DescriptorStore.META,
+                                             self.META):
+                os.remove(os.path.join(path, fn))
         store = DescriptorStore(path, self.n_songs)
         # slice the save copy out of the padded corpus: keeping the
         # unpadded originals around would pin device-resident leaves
@@ -122,6 +145,7 @@ class CoverIndex:
         with open(os.path.join(path, self.META), "w") as f:
             json.dump({"algorithm": type(self.algorithm).__name__,
                        "name": self.algorithm.NAME,
+                       "params": _algo_params(self.algorithm),
                        "tile": self.tile,
                        "n_songs": self.n_songs,
                        "ids": self.ids}, f)
@@ -134,6 +158,22 @@ class CoverIndex:
             raise ValueError(
                 f"index at {path} was built with {meta['algorithm']}, "
                 f"not {type(algorithm).__name__}")
+        # the class name alone is not enough: query descriptors are
+        # extracted by THIS instance, so any parameter drift against the
+        # pinned corpus (chroma_type, kappa, downsample_fac, ...) would
+        # silently produce wrong rankings
+        saved = meta.get("params")
+        if saved is not None:
+            now = _algo_params(algorithm)
+            diff = {k for k in set(saved) | set(now)
+                    if saved.get(k) != now.get(k)}
+            if diff:
+                raise ValueError(
+                    f"index at {path} was built with different "
+                    f"algorithm parameters: "
+                    + ", ".join(f"{k}: index={saved.get(k)!r} "
+                                f"vs query={now.get(k)!r}"
+                                for k in sorted(diff)))
         desc = dict(DescriptorStore.open(path))
         return cls(algorithm, desc, meta["n_songs"], ids=meta["ids"],
                    tile=meta["tile"])

@@ -68,6 +68,8 @@ def main() -> int:
 
     t0 = time.time()
     index.query(qfs)   # new batch shape -> second compile
+    print(f"cold {args.queries}-song batch (compile): "
+          f"{time.time() - t0:.1f}s")
     t0 = time.time()
     for _ in range(args.reps):
         index.query(qfs)

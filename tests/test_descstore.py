@@ -472,3 +472,73 @@ def test_bucketed_streamed_int8(tmp_path):
         s_ref = eval_statistics(np.asarray(D_ref[k]), fs.labels)
         s_q = eval_statistics(np.asarray(Ds[k]), fs.labels)
         assert s_q.map == s_ref.map, k
+
+
+class RaggedDotAlg(CoverAlgorithm):
+    """Descriptor width follows the subset's max length (like every real
+    algorithm), so per-bucket streamed stores pad to different widths."""
+
+    NAME = "RaggedDotAlg"
+    SIMILARITY_TYPES = ("main",)
+    SYMMETRIC = True
+    TILE = 2
+
+    def extract_descriptors(self, fs):
+        import numpy as np
+        lens = np.asarray(fs.length("vec"))
+        w = int(lens.max())
+        v = np.asarray(fs.feature("vec")[:, :w], np.float32)
+        mask = np.arange(w)[None, :] < lens[:, None]
+        return {"vec": v * mask[..., None],
+                "length": lens.astype(np.int32)}
+
+    def tile_scores(self, row, col):
+        import jax.numpy as jnp
+        return {"main": jnp.einsum("ild,jld->ij",
+                                   row["vec"], col["vec"])}
+
+
+def test_bucketed_streamed_mixed_quant_buckets(tmp_path):
+    """A near-threshold key can be int8-quantized in the LONG bucket but
+    fp32 in the SHORT one (the quantized-key decision uses bucket-local
+    padded widths). Cross-bucket tiles must then reconcile one-sided
+    @qscale companions instead of raising KeyError / silently dropping
+    the companion (regression: `_pad_tile_pair_axis1` union iteration)."""
+    from acoss_tpu.benchmarking.harness import run_pairwise_bucketed
+
+    rng = np.random.default_rng(3)
+    n, Lmax, d = 8, 64, 8
+    lens = np.array([16, 16, 16, 16, 64, 64, 64, 64], np.int32)
+    vec = rng.normal(size=(n, Lmax, d)).astype(np.float32)
+    vec *= (np.arange(Lmax)[None, :, None] < lens[:, None, None])
+    fs = FeatureSet(features={"vec": vec}, lengths={"vec": lens},
+                    labels=np.array([f"W{i // 2}" for i in range(n)]),
+                    track_ids=np.array([f"t{i}" for i in range(n)]))
+
+    alg = RaggedDotAlg()
+    ref = alg.extract_descriptors(fs)
+    from acoss_tpu.benchmarking.harness import run_pairwise
+    D_ref = run_pairwise(alg, ref, n, tile=2)
+
+    # threshold between the short bucket's row bytes (16*8*4 = 512) and
+    # the long bucket's (64*8*4 = 2048)
+    Ds, desc, perm = run_pairwise_bucketed(
+        alg, fs, n_buckets=2, tile=2,
+        stream_dir=str(tmp_path / "mixed"), stream_quant="int8",
+        stream_chunk=8, stream_min_bytes=1024,
+        return_desc=True, return_perm=True)
+    b0 = DescriptorStore.open(str(tmp_path / "mixed/desc/bucket_0000"))
+    b1 = DescriptorStore.open(str(tmp_path / "mixed/desc/bucket_0001"))
+    assert not any(k.endswith("@qscale") for k in b0), sorted(b0)
+    assert any(k.endswith("@qscale") for k in b1), sorted(b1)
+
+    got = np.asarray(Ds["main"])
+    want = np.asarray(D_ref["main"])[np.ix_(perm, perm)]
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.02 * scale
+    # cross-bucket blocks specifically (short rows x long cols) must be
+    # populated, not zero/garbage
+    assert np.abs(got[:4, 4:] - want[:4, 4:]).max() <= 0.02 * scale
+    # merged small keys are dequantized fp32, never scaled int8
+    assert desc["length"].dtype == np.int32
+    assert not any(k.endswith("@qscale") for k in desc)

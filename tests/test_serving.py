@@ -148,3 +148,38 @@ def test_cli_query_roundtrip(tmp_path):
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert "loading index" in out2.stdout
+
+
+def test_load_rejects_parameter_drift(tmp_path, corpus_and_queries):
+    """Same class, different constructor params: load must refuse — the
+    query-side extraction would not match the pinned corpus."""
+    _, cfs, _, _, _ = corpus_and_queries
+    index = CoverIndex.build(_algo(), cfs, tile=4)
+    index.save(str(tmp_path / "idx"))
+    drifted = Serra09(chroma_type="crema", downsample_fac=4,
+                      pad_to_multiple=8)
+    with pytest.raises(ValueError, match="chroma_type"):
+        CoverIndex.load(drifted, str(tmp_path / "idx"))
+    # identical params still load
+    CoverIndex.load(_algo(), str(tmp_path / "idx"))
+
+
+def test_save_clears_stale_store_debris(tmp_path, corpus_and_queries):
+    """An interrupted earlier save leaves .npy memmaps with old
+    dtypes/widths; save() must not reopen them r+ (silent casts) or fold
+    orphan keys into META."""
+    _, cfs, qfs, _, _ = corpus_and_queries
+    path = tmp_path / "idx"
+    path.mkdir()
+    # stale debris: an int8 leaf under a REAL key name + an orphan key
+    np.save(path / "chroma.npy",
+            np.zeros((cfs.n_songs, 3), np.int8))
+    np.save(path / "orphan.npy", np.zeros((cfs.n_songs, 2), np.float32))
+    index = CoverIndex.build(_algo(), cfs, tile=4)
+    ref = index.query(qfs)
+    index.save(str(path))
+    loaded = CoverIndex.load(_algo(), str(path))
+    assert "orphan" not in loaded._corpus
+    got = loaded.query(qfs)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-5, err_msg=k)
