@@ -111,6 +111,16 @@ def uniform_downsample_batch(arrays: list, fac: int,
 
     @functools.partial(jax.jit, static_argnames=("fac", "agg"))
     def down(X, lengths, fac, agg):
+        # The median branch sorts the raw windows WITHOUT a validity
+        # mask: invalid positions arrive pre-filled with +inf from the
+        # HOST staging buffer below. A `jnp.where` iota-mask fused into
+        # the sort operand kernel-faults this TPU backend at some
+        # batch/length shapes (reproduced at (12, 16400, 12): mask+sort
+        # crashes the worker; sort alone, gather alone, mean, and
+        # sort+gather all pass — see scripts/probe notes in RESULTS.md).
+        # Host-side fill is bit-identical: valid values sort among
+        # themselves first and the median gathers stay inside the valid
+        # prefix for every window the caller keeps (c >= 1).
         B, Lp, d = X.shape
         nseg = Lp // fac
         W = X.reshape(B, nseg, fac, d)
@@ -119,10 +129,7 @@ def uniform_downsample_batch(arrays: list, fac: int,
         if agg == "mean":
             s = jnp.sum(W, axis=2)
             return s / jnp.maximum(c, 1)[..., None]
-        big = jnp.asarray(jnp.inf, X.dtype)
-        masked = jnp.where(jnp.arange(fac)[None, None, :, None]
-                           < c[..., None, None], W, big)
-        srt = jnp.sort(masked, axis=2)
+        srt = jnp.sort(W, axis=2)
         cc = jnp.maximum(c, 1)
         lo = jnp.take_along_axis(
             srt, ((cc - 1) // 2)[..., None, None], axis=2)[:, :, 0]
@@ -142,7 +149,10 @@ def uniform_downsample_batch(arrays: list, fac: int,
             chunk = idxs[lo_:lo_ + batch_size]
             B = min(batch_size, len(idxs))
             pchunk = chunk + [chunk[0]] * (B - len(chunk))
-            X = np.zeros((B, -(-Lp // fac) * fac, d), np.float32)
+            # median: pad with +inf so the device sort needs no mask
+            # (see `down`); mean: zero padding + count-correct divide
+            fill = np.inf if aggregate == "median" else 0.0
+            X = np.full((B, -(-Lp // fac) * fac, d), fill, np.float32)
             lens = np.zeros(B, np.int32)
             for b, i in enumerate(pchunk):
                 a = np.nan_to_num(np.asarray(arrays[i], np.float32),
