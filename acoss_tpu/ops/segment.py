@@ -95,47 +95,56 @@ def stack_memory(X: np.ndarray, n_steps: int, delay: int = 1) -> np.ndarray:
     return np.concatenate(blocks, axis=1)
 
 
+def _down_batch(X, lengths, fac: int, agg: str):
+    """The device program behind `uniform_downsample_batch`: windowed
+    aggregation of a (B, Lp, d) host-staged batch.
+
+    The median branch sorts the raw windows WITHOUT a validity mask:
+    invalid positions arrive pre-filled with +inf from the HOST staging
+    buffer. A `jnp.where` iota-mask fused into the sort operand
+    kernel-faults this TPU backend at some batch/length shapes
+    (reproduced at (12, 16400, 12): mask+sort crashes the worker; sort
+    alone, gather alone, mean, and sort+gather all pass — diagnosis in
+    RESULTS.md, probe in `scripts/tpu_sort_mask_probe.py`). Host-side
+    fill is bit-identical: valid values sort among themselves first and
+    the median gathers stay inside the valid prefix for every window
+    the caller keeps (c >= 1). Module-level so the no-masked-sort
+    property is testable on the traced program.
+    """
+    import jax.numpy as jnp
+
+    B, Lp, d = X.shape
+    nseg = Lp // fac
+    W = X.reshape(B, nseg, fac, d)
+    k = jnp.arange(nseg)[None, :]
+    c = jnp.clip(lengths[:, None] - k * fac, 0, fac)    # (B, nseg)
+    if agg == "mean":
+        s = jnp.sum(W, axis=2)
+        return s / jnp.maximum(c, 1)[..., None]
+    srt = jnp.sort(W, axis=2)
+    cc = jnp.maximum(c, 1)
+    lo = jnp.take_along_axis(
+        srt, ((cc - 1) // 2)[..., None, None], axis=2)[:, :, 0]
+    hi = jnp.take_along_axis(
+        srt, (cc // 2)[..., None, None], axis=2)[:, :, 0]
+    return 0.5 * (lo + hi)
+
+
 def uniform_downsample_batch(arrays: list, fac: int,
                              aggregate: str = "median",
                              bucket: int = 4096,
                              batch_size: int = 16) -> list:
     """`uniform_downsample` for a corpus: songs grouped by padded length
-    and aggregated on device in a few vmapped calls (masked medians /
+    and aggregated on device in a few vmapped calls (prefilled medians /
     count-correct means make the remainder window exact — equal to the
     per-song host path up to float32 rounding). Returns per-song
     (ceil(L_i / fac), d) float32 arrays in input order."""
-    import functools
-
     import jax
-    import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("fac", "agg"))
-    def down(X, lengths, fac, agg):
-        # The median branch sorts the raw windows WITHOUT a validity
-        # mask: invalid positions arrive pre-filled with +inf from the
-        # HOST staging buffer below. A `jnp.where` iota-mask fused into
-        # the sort operand kernel-faults this TPU backend at some
-        # batch/length shapes (reproduced at (12, 16400, 12): mask+sort
-        # crashes the worker; sort alone, gather alone, mean, and
-        # sort+gather all pass — see scripts/probe notes in RESULTS.md).
-        # Host-side fill is bit-identical: valid values sort among
-        # themselves first and the median gathers stay inside the valid
-        # prefix for every window the caller keeps (c >= 1).
-        B, Lp, d = X.shape
-        nseg = Lp // fac
-        W = X.reshape(B, nseg, fac, d)
-        k = jnp.arange(nseg)[None, :]
-        c = jnp.clip(lengths[:, None] - k * fac, 0, fac)    # (B, nseg)
-        if agg == "mean":
-            s = jnp.sum(W, axis=2)
-            return s / jnp.maximum(c, 1)[..., None]
-        srt = jnp.sort(W, axis=2)
-        cc = jnp.maximum(c, 1)
-        lo = jnp.take_along_axis(
-            srt, ((cc - 1) // 2)[..., None, None], axis=2)[:, :, 0]
-        hi = jnp.take_along_axis(
-            srt, (cc // 2)[..., None, None], axis=2)[:, :, 0]
-        return 0.5 * (lo + hi)
+    down = uniform_downsample_batch._jit
+    if down is None:
+        down = jax.jit(_down_batch, static_argnames=("fac", "agg"))
+        uniform_downsample_batch._jit = down
 
     by_shape: dict = {}
     for i, a in enumerate(arrays):
@@ -164,3 +173,6 @@ def uniform_downsample_batch(arrays: list, fac: int,
                 n = -(-int(lens[b]) // fac)
                 out[i] = Y[b, :n]
     return out
+
+
+uniform_downsample_batch._jit = None

@@ -251,3 +251,42 @@ def test_compute_features_empty_list():
     from acoss_tpu.features.pipeline import compute_features
     out = compute_features(tone(440.0, dur=0.5), features=[])
     assert out == {}
+
+
+def test_downsample_median_program_has_no_masked_sort():
+    """Regression for the TPU-worker kernel fault (RESULTS.md round-4
+    diagnosis): an iota-where validity mask fused into the jnp.sort
+    operand faults the TPU backend at some shapes. The batched median
+    must sort the HOST-prefilled windows directly, so the traced
+    program must contain NO select/where at the 4-D window shape
+    (B, nseg, fac, d) — that is exactly the shape the old mask
+    produced (small-integer index selects inside floor_divide /
+    take_along_axis are fine). The +inf prefill itself is pinned by
+    the batch-vs-per-song equality test above."""
+    import jax
+
+    from acoss_tpu.ops.segment import _down_batch
+
+    B, Lp, fac, d = 2, 160, 40, 4
+    X = np.full((B, Lp, d), np.inf, np.float32)
+    X[:, :81] = 0.0
+    lens = np.full(B, 81, np.int32)
+    jaxpr = jax.make_jaxpr(_down_batch, static_argnums=(2, 3))(
+        X, lens, fac, "median").jaxpr
+
+    def walk(jx):
+        for e in jx.eqns:
+            yield e
+            for v in e.params.values():
+                if hasattr(v, "jaxpr"):      # ClosedJaxpr
+                    yield from walk(v.jaxpr)
+                elif hasattr(v, "eqns"):     # Jaxpr
+                    yield from walk(v)
+
+    eqns = list(walk(jaxpr))
+    assert any(e.primitive.name == "sort" for e in eqns)
+    window_shape = (B, Lp // fac, fac, d)
+    bad = [e for e in eqns if e.primitive.name == "select_n"
+           and any(getattr(v.aval, "shape", None) == window_shape
+                   for v in e.outvars)]
+    assert not bad, bad
