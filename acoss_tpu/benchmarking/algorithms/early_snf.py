@@ -36,7 +36,8 @@ class EarlySNF(Serra09):
                  downsample_fac: int = 40, pad_to_multiple: int = 64,
                  snf_niters: int = 3, do_ssms: bool = True,
                  ssm_win_mul: int = 2, ssm_res: int = 64,
-                 sequential: bool = True):
+                 sequential: bool = True,
+                 snf_precision: str = "highest"):
         super().__init__(chroma_type=chroma_type, oti=oti, kappa=kappa,
                          m=m, downsample_fac=downsample_fac,
                          pad_to_multiple=pad_to_multiple, do_ssms=do_ssms,
@@ -45,6 +46,10 @@ class EarlySNF(Serra09):
         # sequential=True pins the reference's in-place SNF update order
         # (`fusion.snf_ws` docstring) for upstream-comparable numbers.
         self.sequential = sequential
+        # "highest" is the parity setting; "default" is the ~3.7x-faster
+        # bf16-input diffusion for throughput sweeps (CLI
+        # --snf-precision; see `fusion.snf_ws`)
+        self.snf_precision = snf_precision
         self.SIMILARITY_TYPES = self.SIMILARITY_TYPES + (
             "snf_qmax", "snf_dmax")
 
@@ -85,7 +90,8 @@ class EarlySNF(Serra09):
                                          k_static_max=kmax))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
                               reg_diag=True, sequential=self.sequential,
-                              k_static_max=kmax)
+                              k_static_max=kmax,
+                              precision=self.snf_precision)
         Lp = csm_c.shape[0]
         cross = -fused[:Lp, Lp:]   # similarity -> "distance" for binarize
         Bsnf = crp.csm_to_binary_mutual(cross, self.kappa, l1e, l2e)

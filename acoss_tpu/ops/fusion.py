@@ -232,7 +232,8 @@ def get_S(W: jax.Array, K, k_static_max: int | None = None) -> jax.Array:
 
 def snf_ws(Ws: jax.Array, K, niters: int = 20,
            reg_diag: bool = True, sequential: bool = False,
-           k_static_max: int | None = None) -> jax.Array:
+           k_static_max: int | None = None,
+           precision: str = "highest") -> jax.Array:
     """Cross-diffusion of a stack of affinity matrices.
 
     Parity: `SimilarityFusion.py:202-277`:
@@ -254,20 +255,29 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
       K: neighbors for the S truncation (may be traced).
       k_static_max: static upper bound on runtime K (auto-derived when K
         is a host int) — see `get_W`.
+      precision: matmul precision of the diffusion einsums. The default
+        "highest" is the parity setting (fp32-accurate on the MXU);
+        "default" (bf16 inputs, fp32 accumulation) is a ~3.7x-faster
+        THROUGHPUT mode for large sweeps — like the quantized streams,
+        not for full-precision parity runs (retrieval-stat invariance
+        is pinned by tests/test_fusion_bounded.py).
     Returns: fused (n, n) similarity matrix.
     """
     if k_static_max is None:
         k_static_max = _host_int(K)
     return _snf_ws_impl(Ws, K, niters=niters, reg_diag=reg_diag,
-                        sequential=sequential, k_static_max=k_static_max)
+                        sequential=sequential, k_static_max=k_static_max,
+                        precision=precision)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max",
+                     "precision"))
 def _snf_ws_impl(Ws: jax.Array, K, niters: int = 20,
                  reg_diag: bool = True, sequential: bool = False,
-                 k_static_max: int | None = None) -> jax.Array:
+                 k_static_max: int | None = None,
+                 precision: str = "highest") -> jax.Array:
     Ws = jnp.asarray(Ws)
     F = Ws.shape[0]
     Ps = jax.vmap(lambda W: get_P(W, reg_diag))(Ws)
@@ -275,7 +285,7 @@ def _snf_ws_impl(Ws: jax.Array, K, niters: int = 20,
 
     def diffuse(S_i, mean_others):
         nxt = jnp.einsum("ij,jk,lk->il", S_i, mean_others, S_i,
-                         precision="highest")
+                         precision=precision)
         return get_P(nxt, True) if reg_diag else nxt
 
     def body_jacobi(Ps, _):

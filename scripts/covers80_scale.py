@@ -25,11 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def make_algorithms():
-    from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS
+    from acoss_tpu.benchmarking.algorithms import ALL_ALGORITHMS, EarlySNF
     from acoss_tpu.benchmarking.algorithms.serra09 import Serra09
     algos = {name.lower(): (lambda cls=cls: cls())
              for name, cls in ALL_ALGORITHMS.items()}
     algos["serra09_full"] = lambda: Serra09(do_ssms=True)
+    # the bf16-diffusion throughput mode (fusion.snf_ws precision)
+    algos["earlysnf_fast"] = lambda: EarlySNF(snf_precision="default")
     return algos
 
 

@@ -32,22 +32,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def _amortized(fn, inputs, reps):
-    """Warm-compile on inputs[0], then (T(reps runs) - T(1)) / (reps-1)
-    over DISTINCT buffers to cancel dispatch/RTT/caching."""
+def _sync(out):
+    """Synchronize by materializing a HOST value (one tiny scalar per
+    leaf): through the remote tunnel `block_until_ready` has been
+    observed returning before execution completes, so only a concrete
+    readback is a trustworthy barrier."""
     import jax
+    import numpy as np
 
-    out = fn(*inputs[0])
-    jax.block_until_ready(out)
+    # every profiled program returns scalars or (tile, tile) scores, so
+    # full host materialization is a few hundred bytes of D2H
+    return sum(float(np.asarray(leaf).ravel()[0])
+               for leaf in jax.tree.leaves(out))
+
+
+def _amortized(fn, inputs, reps):
+    """Warm-compile + 3 warm runs (the first executions after a compile
+    carry extra tunnel overhead), then (T(reps+1) - T(1)) / reps over
+    DISTINCT buffers to cancel dispatch/RTT/caching."""
+    for w in range(3):
+        _sync(fn(*inputs[w % len(inputs)]))
     t1 = time.time()
-    jax.block_until_ready(fn(*inputs[1 % len(inputs)]))
+    _sync(fn(*inputs[0]))
     t1 = time.time() - t1
     t0 = time.time()
-    for r in range(reps):
-        out = fn(*inputs[(r + 1) % len(inputs)])
-    jax.block_until_ready(out)
+    outs = [fn(*inputs[r % len(inputs)]) for r in range(reps + 1)]
+    _sync(outs[-1])
     tn = time.time() - t0
-    return max((tn - t1) / max(reps - 1, 1), 0.0)
+    return (tn - t1) / max(reps, 1)
 
 
 def main() -> int:
@@ -56,6 +68,8 @@ def main() -> int:
     ap.add_argument("--tile", type=int, default=8)
     ap.add_argument("--L", type=int, default=448)
     ap.add_argument("--ssm-dim", type=int, default=20736)
+    ap.add_argument("--snf-precision", default="highest",
+                    choices=("highest", "default"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -69,8 +83,9 @@ def main() -> int:
     from acoss_tpu.ops import alignment, crp, fusion
 
     t8, L, sdim = args.tile, args.L, args.ssm_dim
-    algo = EarlySNF(chroma_type="hpcp")
-    print(f"device: {jax.devices()[0]}  tile={t8} L={L} ssm_dim={sdim}")
+    algo = EarlySNF(chroma_type="hpcp", snf_precision=args.snf_precision)
+    print(f"device: {jax.devices()[0]}  tile={t8} L={L} ssm_dim={sdim} "
+          f"snf_precision={args.snf_precision}")
 
     rng = np.random.default_rng(0)
 
@@ -102,7 +117,8 @@ def main() -> int:
     print(f"full tile_scores:      {timings['full'] * 1e3:9.1f} ms",
           flush=True)
 
-    algo_ns = EarlySNF(chroma_type="hpcp", do_ssms=False)
+    algo_ns = EarlySNF(chroma_type="hpcp", do_ssms=False,
+                       snf_precision=args.snf_precision)
     ns_tiles = [({k: v for k, v in r.items() if k != "ssms"},
                  {k: v for k, v in c.items() if k != "ssms"})
                 for r, c in tiles]

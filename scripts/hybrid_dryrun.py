@@ -91,6 +91,10 @@ def main() -> int:
     ap.add_argument("--int8", action="store_true",
                     help="store the ssms key as per-song-scaled int8 "
                          "(the --stream-int8 layout)")
+    ap.add_argument("--snf-precision", default="highest",
+                    choices=("highest", "default"),
+                    help="SNF diffusion einsum precision (the CLI's "
+                         "--snf-precision throughput mode)")
     ap.add_argument("--no-panel-prefetch", action="store_true",
                     help="disable the next-panel HBM upload overlap "
                          "(to measure the prefetch win / for panels "
@@ -128,7 +132,8 @@ def main() -> int:
     gb = sum(v.nbytes for v in desc.values()) / 1e9
     print(f"store size: {gb:.2f} GB on disk")
 
-    algo = EarlySNF(chroma_type="hpcp", pad_to_multiple=pad_mult)
+    algo = EarlySNF(chroma_type="hpcp", pad_to_multiple=pad_mult,
+                    snf_precision=args.snf_precision)
     tiles_per_panel = args.panel_songs // args.tile
     n_tiles = -(-n // args.tile)
 

@@ -174,3 +174,35 @@ def test_bounded_path_under_vmap_and_jit():
 
     np.testing.assert_array_equal(np.asarray(unbounded(Ds, Ks)),
                                   np.asarray(bounded(Ds, Ks)))
+
+
+def test_snf_precision_throughput_mode_keeps_retrieval():
+    """`snf_ws(precision='default')` is the bf16-diffusion throughput
+    mode (CLI --snf-precision). Contract: same fused-similarity RANKING
+    as the parity setting — MAP/MR identical on a planted-clique corpus
+    (on CPU the two precisions are bitwise equal, which also pins the
+    plumbing; the hardware MAP check lives in scripts/covers80_scale.py
+    `earlysnf_fast`)."""
+    import numpy as np
+
+    from acoss_tpu.benchmarking.algorithms import EarlySNF
+    from acoss_tpu.benchmarking.evaluation import eval_statistics
+    from acoss_tpu.benchmarking.harness import run_pairwise
+    from acoss_tpu.data import make_synthetic_dataset
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=5)
+    ref_alg = EarlySNF(chroma_type="hpcp", downsample_fac=4,
+                       pad_to_multiple=8, ssm_res=16)
+    fast_alg = EarlySNF(chroma_type="hpcp", downsample_fac=4,
+                        pad_to_multiple=8, ssm_res=16,
+                        snf_precision="default")
+    D_ref = run_pairwise(ref_alg, ref_alg.extract_descriptors(fs),
+                         fs.n_songs, tile=4)
+    D_fast = run_pairwise(fast_alg, fast_alg.extract_descriptors(fs),
+                          fs.n_songs, tile=4)
+    assert set(D_fast) == set(D_ref)
+    for k in ("snf_qmax", "snf_dmax"):
+        s_ref = eval_statistics(np.asarray(D_ref[k]), fs.labels)
+        s_fast = eval_statistics(np.asarray(D_fast[k]), fs.labels)
+        assert s_fast.map == s_ref.map, k
+        assert s_fast.mr == s_ref.mr, k
