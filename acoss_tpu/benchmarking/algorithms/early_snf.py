@@ -53,8 +53,10 @@ class EarlySNF(Serra09):
         self.SIMILARITY_TYPES = self.SIMILARITY_TYPES + (
             "snf_qmax", "snf_dmax")
 
-    def _pair_ws(self, r, c):
-        """Joint WCSMSSM affinities + binary CRPs for one padded pair."""
+    def _pair_mats(self, r, c):
+        """The four per-pair matrices the tile binarizes: chroma sliding
+        CSM, mfcc sliding CSM, [ssms CSM,] negated fused SNF cross block
+        — in the channel order of `tile_scores`."""
         m = self.m
         if self.oti:
             oti = crp.get_oti(r["gchroma"], c["gchroma"])
@@ -94,30 +96,53 @@ class EarlySNF(Serra09):
                               precision=self.snf_precision)
         Lp = csm_c.shape[0]
         cross = -fused[:Lp, Lp:]   # similarity -> "distance" for binarize
-        Bsnf = crp.csm_to_binary_mutual(cross, self.kappa, l1e, l2e)
 
-        # plain Serra09 CRPs "while we're at it" (`EarlySNF.py:60-83`)
-        crps = [crp.csm_to_binary_mutual(csm_c, self.kappa, l1e, l2e)]
+        # plain Serra09 channels "while we're at it" (`EarlySNF.py:60-83`)
+        mats = [csm_c]
         csm_m = crp.sliding_csm_padded(
             crp.get_csm_centered(r["mfcc"], c["mfcc"]), m)
-        crps.append(crp.csm_to_binary_mutual(csm_m, self.kappa, l1e, l2e))
+        mats.append(csm_m)
         if self.do_ssms:
-            crps.append(crp.csm_to_binary_mutual(csm_s, self.kappa,
-                                                 l1e, l2e))
-        crps.append(Bsnf)
-        return tuple(crps), l1e, l2e
+            mats.append(csm_s)
+        mats.append(cross)
+        return tuple(mats), l1e, l2e
+
+    def _pair_ws(self, r, c):
+        """Binary CRPs for one padded pair (the XLA binarize path)."""
+        mats, l1e, l2e = self._pair_mats(r, c)
+        crps = tuple(crp.csm_to_binary_mutual(M, self.kappa, l1e, l2e)
+                     for M in mats)
+        return crps, l1e, l2e
 
     def tile_scores(self, row: dict, col: dict) -> dict:
         if self.do_ssms:
             row, col = self._center_ssms(row, col)
-        pair = jax.vmap(jax.vmap(self._pair_ws, in_axes=(None, 0)),
-                        in_axes=(0, None))
-        Bs, l1e, l2e = pair(row, col)
-        nf = len(Bs)
-        bi, bj, L, _ = Bs[0].shape
-        S = jnp.concatenate([B.reshape(-1, L, L) for B in Bs])
-        ml = jnp.tile(l1e.reshape(-1), nf)
-        nl = jnp.tile(l2e.reshape(-1), nf)
+        pallas, interp = alignment._use_pallas()
+        if pallas and 0.0 < self.kappa < 1.0:
+            # all (nf * bi * bj) binarizations in ONE exact in-VMEM
+            # Pallas pass (`crp_pallas.binarize_matrix_batch`) instead
+            # of per-pair XLA top_k selections — bit-identical CRPs
+            # (same fractional-kappa gate as the Serra09 fused kernel)
+            pair = jax.vmap(jax.vmap(self._pair_mats, in_axes=(None, 0)),
+                            in_axes=(0, None))
+            Ms, l1e, l2e = pair(row, col)
+            nf = len(Ms)
+            bi, bj, L, _ = Ms[0].shape
+            D = jnp.concatenate([M.reshape(-1, L, L) for M in Ms])
+            ml = jnp.tile(l1e.reshape(-1), nf)
+            nl = jnp.tile(l2e.reshape(-1), nf)
+            from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
+            S = binarize_matrix_batch(D, ml, nl, kappa=self.kappa,
+                                      interpret=interp)
+        else:
+            pair = jax.vmap(jax.vmap(self._pair_ws, in_axes=(None, 0)),
+                            in_axes=(0, None))
+            Bs, l1e, l2e = pair(row, col)
+            nf = len(Bs)
+            bi, bj, L, _ = Bs[0].shape
+            S = jnp.concatenate([B.reshape(-1, L, L) for B in Bs])
+            ml = jnp.tile(l1e.reshape(-1), nf)
+            nl = jnp.tile(l2e.reshape(-1), nf)
         q = alignment.qmax_batch_best(S, ml, nl)
         d = alignment.dmax_batch_best(S, ml, nl)
         denom = jnp.maximum(ml + nl, 1).astype(jnp.float32)

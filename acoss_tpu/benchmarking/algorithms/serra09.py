@@ -200,16 +200,21 @@ class Serra09(CoverAlgorithm):
         Bs = (Bc, Bm)
         if self.do_ssms:
             # ssms descriptors (20736-dim) exceed VMEM for the fused
-            # kernel; that channel stays on the XLA binarize path.
-            def ssm_crp(r, c):
-                # ssms pre-centered by tile_scores (tile-shared origin)
-                csm = crp.get_csm(r["ssms"], c["ssms"])
-                return crp.csm_to_binary_mutual(
-                    csm, self.kappa,
-                    r["length"] - self.m + 1, c["length"] - self.m + 1)
+            # kernel; build the CSMs via the MXU Gram, then binarize
+            # them in one matrix-input Pallas pass
+            # (`crp_pallas.binarize_matrix_batch`).
+            from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
 
-            Bss = jax.vmap(jax.vmap(ssm_crp, in_axes=(None, 0)),
+            def ssm_csm(r, c):
+                # ssms pre-centered by tile_scores (tile-shared origin)
+                return crp.get_csm(r["ssms"], c["ssms"])
+
+            Dss = jax.vmap(jax.vmap(ssm_csm, in_axes=(None, 0)),
                            in_axes=(0, None))(row, col)
+            Bss = binarize_matrix_batch(
+                Dss.reshape((bi * bj,) + Dss.shape[2:]),
+                l1e.reshape(-1), l2e.reshape(-1), kappa=self.kappa,
+                interpret=interpret).reshape(Dss.shape)
             Bs = Bs + (Bss,)
         return Bs, l1e.reshape(bi, bj), l2e.reshape(bi, bj)
 

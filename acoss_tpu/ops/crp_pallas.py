@@ -220,3 +220,157 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
     if mutual:
         kr = kr & (jnp.round(kappa * l1e.astype(jnp.float32)) > 0)
     return S * kr[:, None, None].astype(S.dtype), l1e, l2e
+
+
+# ---------------------------------------------------------------------------
+# Matrix-input binarizer: kNN-binarize an ALREADY-BUILT distance matrix
+# ---------------------------------------------------------------------------
+#
+# `fused_binary_crp_batch` above starts from (L, d) feature blocks, so it
+# only serves channels whose CSM the kernel itself can build. The EarlySNF
+# tile (`benchmarking/algorithms/early_snf.py`) binarizes four matrices
+# that exist only mid-pipeline — the chroma sliding CSM (shared with the
+# SNF affinity build), the mfcc sliding CSM, the 20736-dim ssms CSM (its
+# features exceed VMEM), and the NEGATED fused SNF cross block — which
+# kept it on the XLA `lax.top_k` path (measured 39 ms of the 142 ms tile,
+# RESULTS.md tile decomposition). This kernel applies the same exact
+# in-VMEM bit-pattern selection to a (B, L, L) matrix input.
+#
+# Unlike the fused kernel's inputs (windowed squared distances, >= 0),
+# the SNF cross block is NEGATIVE ([-1, 0]), so bit patterns alone are
+# not rank-ordered. Keys are the standard signed monotone mapping
+#   key(b) = b ^ ((b >> 31) & 0x7FFFFFFF)
+# (identity on non-negative floats, bit-complement of the magnitude on
+# negative ones), after canonicalizing -0.0 to +0.0 so equal floats get
+# equal keys. The binary search then runs over the full finite-key range
+# with an overflow-safe midpoint (lo+hi would exceed int32).
+
+_MIN_FINITE_KEY = -2139095040        # key of -3.4028235e38 (0xFF7FFFFF)
+
+
+def _binarize_kernel(kappa, mutual, L,
+                     d_ref, l1_ref, l2_ref, s_ref, bits_ref):
+    PB = d_ref.shape[0]
+    g = pl.program_id(0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    ks_r, ks_c = [], []
+    for p in range(PB):
+        D = d_ref[p]
+        # -0.0 and +0.0 compare equal as floats but differ as bits; the
+        # negated SNF cross block is full of -0.0 (fused >= 0), so
+        # canonicalize before keying to keep the XLA path's tie sets
+        D = jnp.where(D == 0.0, jnp.float32(0.0), D)
+        b = D.view(jnp.int32)
+        key = b ^ (jax.lax.shift_right_arithmetic(b, 31)
+                   & jnp.int32(0x7FFFFFFF))
+        l1 = l1_ref[g * PB + p]
+        l2 = l2_ref[g * PB + p]
+        valid = (ii < l1) & (jj < l2)
+        # +inf keys to its own bit pattern (b >= 0), above every finite
+        # key and above the search range's hi — poisoned cells never pass
+        bits_ref[p] = jnp.where(valid, key, _INF_BITS)
+        ks_r.append(jnp.maximum(
+            jnp.round(kappa * l2.astype(jnp.float32)), 1.0))
+        ks_c.append(jnp.maximum(
+            jnp.round(kappa * l1.astype(jnp.float32)), 1.0))
+
+    bits = [bits_ref[p] for p in range(PB)]
+
+    def search(it, carry):
+        out = []
+        for p in range(PB):
+            lo_r, hi_r, lo_c, hi_c = carry[p]
+            # overflow-safe floor((lo + hi) / 2): lo is very negative and
+            # hi very positive, so lo + (hi - lo) / 2 would wrap int32
+            mid_r = (lo_r & hi_r) + jax.lax.shift_right_arithmetic(
+                lo_r ^ hi_r, 1)
+            cnt_r = jnp.sum((bits[p] <= mid_r).astype(jnp.float32),
+                            axis=1, keepdims=True)
+            ge_r = cnt_r >= ks_r[p]
+            nlo_r = jnp.where(ge_r, lo_r, mid_r + 1)
+            nhi_r = jnp.where(ge_r, mid_r, hi_r)
+            if mutual:
+                mid_c = (lo_c & hi_c) + jax.lax.shift_right_arithmetic(
+                    lo_c ^ hi_c, 1)
+                cnt_c = jnp.sum((bits[p] <= mid_c).astype(jnp.float32),
+                                axis=0, keepdims=True)
+                ge_c = cnt_c >= ks_c[p]
+                lo_c = jnp.where(ge_c, lo_c, mid_c + 1)
+                hi_c = jnp.where(ge_c, mid_c, hi_c)
+            out.append((nlo_r, nhi_r, lo_c, hi_c))
+        return tuple(out)
+
+    zr = jnp.full((L, 1), _MIN_FINITE_KEY, jnp.int32)
+    fr = jnp.full((L, 1), _MAX_FINITE_BITS, jnp.int32)
+    zc = jnp.full((1, L), _MIN_FINITE_KEY, jnp.int32)
+    fc = jnp.full((1, L), _MAX_FINITE_BITS, jnp.int32)
+    init = tuple((zr, fr, zc, fc) for _ in range(PB))
+    res = jax.lax.fori_loop(0, 32, search, init)
+    for p in range(PB):
+        _, t_r, _, t_c = res[p]
+        S = bits[p] <= t_r
+        if mutual:
+            S = S & (bits[p] <= t_c)
+        s_ref[p] = S.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kappa", "mutual", "interpret"))
+def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
+                          mutual: bool = True,
+                          interpret: bool = False):
+    """Batched exact kNN binarization of (B, L, L) distance matrices.
+
+    Per pair b: rows keep the round(kappa * l2[b]) smallest entries
+    (ties at the k-th value all kept), columns — when `mutual` — the
+    round(kappa * l1[b]) smallest; the CRP is the AND. Bit-identical to
+    `crp.csm_to_binary_mutual(D[b], kappa, l1[b], l2[b])` /
+    `crp.csm_to_binary(...)` (`CRPUtils.py:169-219` semantics),
+    including the zero-neighbor degenerate convention. Values may be
+    negative (signed monotone bit keys). Requires 0 < kappa < 1.
+
+    Args:
+      D: (B, L, L) float32; cells beyond (l1[b], l2[b]) may be dirty.
+      l1, l2: (B,) int32 valid row / column counts (the EFFECTIVE
+        lengths — no window arithmetic happens here).
+    Returns: (B, L, L) uint8, zero outside (l1[b], l2[b]).
+    """
+    if not 0.0 < kappa < 1.0:
+        raise ValueError(
+            f"binarize_matrix_batch requires 0 < kappa < 1 (got "
+            f"{kappa}); use crp.csm_to_binary[_mutual] otherwise")
+    D = jnp.asarray(D, jnp.float32)
+    B, L, L2 = D.shape
+    l1 = jnp.broadcast_to(jnp.asarray(l1, jnp.int32), (B,))
+    l2 = jnp.broadcast_to(jnp.asarray(l2, jnp.int32), (B,))
+
+    Bp = -(-B // _PB) * _PB
+    if Bp != B:
+        D = jnp.pad(D, ((0, Bp - B), (0, 0), (0, 0)))
+        l1 = jnp.pad(l1, (0, Bp - B))
+        l2 = jnp.pad(l2, (0, Bp - B))
+
+    S = pl.pallas_call(
+        functools.partial(_binarize_kernel, kappa, mutual, L),
+        grid=(Bp // _PB,),
+        in_specs=[
+            pl.BlockSpec((_PB, L, L2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Bp,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_PB, L, L2), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, L2), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((_PB, L, L2), jnp.int32)],
+        interpret=interpret,
+    )(D, l1, l2)
+    S = S[:B]
+    # zero-neighbor degenerate pairs: all-zero CRP (`CRPUtils.py:194`)
+    kr = jnp.round(kappa * l2.astype(jnp.float32)[:B]) > 0
+    if mutual:
+        kr = kr & (jnp.round(kappa * l1.astype(jnp.float32)[:B]) > 0)
+    return S * kr[:, None, None].astype(S.dtype)

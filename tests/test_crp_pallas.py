@@ -76,6 +76,61 @@ def test_fused_zero_length_pair(rng):
     assert np.asarray(S)[1].sum() == 0
 
 
+@pytest.mark.parametrize("mutual", [True, False])
+def test_binarize_matrix_matches_xla(rng, mutual):
+    """Matrix-input binarizer == the XLA rank-threshold path, including
+    NEGATIVE values (the signed monotone bit keys)."""
+    from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
+
+    B, L, kappa = 5, 64, 0.12
+    D = rng.standard_normal((B, L, L)).astype(np.float32)
+    l1 = rng.integers(10, L + 1, B).astype(np.int32)
+    l2 = rng.integers(10, L + 1, B).astype(np.int32)
+    S = binarize_matrix_batch(D, l1, l2, kappa=kappa, mutual=mutual,
+                              interpret=True)
+    fn = crp.csm_to_binary_mutual if mutual else crp.csm_to_binary
+    R = np.stack([np.asarray(fn(jnp.asarray(D[b]), kappa,
+                                int(l1[b]), int(l2[b])))
+                  for b in range(B)])
+    np.testing.assert_array_equal(np.asarray(S), R)
+
+
+def test_binarize_matrix_negated_similarity(rng):
+    """The EarlySNF use: binarize the NEGATED fused cross block, whose
+    zeros are -0.0 — canonicalization must keep them tied with +0.0."""
+    from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
+
+    B, L, kappa = 3, 48, 0.2
+    fused = rng.random((B, L, L)).astype(np.float32)
+    fused[rng.random((B, L, L)) < 0.3] = 0.0      # plant exact zeros
+    D = -fused                                    # zeros become -0.0
+    # plant a few +0.0 next to the -0.0 (mixed-sign ties in one row)
+    D[:, :, ::5] = np.abs(D[:, :, ::5])
+    l1 = np.full(B, L, np.int32)
+    l2 = np.full(B, L, np.int32)
+    S = binarize_matrix_batch(D, l1, l2, kappa=kappa, interpret=True)
+    R = np.stack([np.asarray(crp.csm_to_binary_mutual(
+        jnp.asarray(D[b]), kappa, L, L)) for b in range(B)])
+    np.testing.assert_array_equal(np.asarray(S), R)
+
+
+def test_binarize_matrix_zero_neighbor_and_padding(rng):
+    """round(kappa * l) == 0 pairs get all-zero CRPs; odd batch sizes
+    exercise the grid padding."""
+    from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
+
+    B, L, kappa = 3, 32, 0.05
+    D = np.abs(rng.standard_normal((B, L, L))).astype(np.float32)
+    l1 = np.array([L, 4, L], np.int32)    # round(0.05 * 4) == 0
+    l2 = np.array([L, L, 6], np.int32)
+    S = np.asarray(binarize_matrix_batch(D, l1, l2, kappa=kappa,
+                                         interpret=True))
+    assert S[1].sum() == 0 and S[2].sum() == 0
+    R = np.asarray(crp.csm_to_binary_mutual(
+        jnp.asarray(D[0]), kappa, int(l1[0]), int(l2[0])))
+    np.testing.assert_array_equal(S[0], R)
+
+
 def test_serra_tile_scores_fused_matches_xla():
     """The full Serra09 tile through the fused kernel == the XLA path."""
     from acoss_tpu.benchmarking.algorithms import Serra09
@@ -94,6 +149,32 @@ def test_serra_tile_scores_fused_matches_xla():
         out_p = jax.jit(algo.tile_scores)(row, col)
     finally:
         alignment.set_alignment_impl(prev)
+    for k in out_x:
+        np.testing.assert_allclose(np.asarray(out_p[k]),
+                                   np.asarray(out_x[k]), atol=1e-5)
+
+
+def test_early_snf_tile_scores_pallas_matches_xla():
+    """The full EarlySNF tile (incl. the SNF channel's negated cross
+    block) through the matrix-input binarizer == the XLA path."""
+    from acoss_tpu.benchmarking.algorithms import EarlySNF
+    from acoss_tpu.data import make_synthetic_dataset
+    from acoss_tpu.ops import alignment
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=11)
+    algo = EarlySNF(chroma_type="hpcp", downsample_fac=4)
+    desc = algo.extract_descriptors(fs)
+    row = {k: v[:4] for k, v in desc.items()}
+    col = {k: v[4:8] for k, v in desc.items()}
+
+    out_x = jax.jit(algo.tile_scores)(row, col)
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        out_p = jax.jit(algo.tile_scores)(row, col)
+    finally:
+        alignment.set_alignment_impl(prev)
+    assert set(out_x) == set(out_p)
+    assert any(k.startswith("snf_") for k in out_x)
     for k in out_x:
         np.testing.assert_allclose(np.asarray(out_p[k]),
                                    np.asarray(out_x[k]), atol=1e-5)
