@@ -189,8 +189,31 @@ def main() -> int:
 
     timings["binarize_x4"] = _amortized(pair_grid(binarize_pair), tiles,
                                         args.reps)
-    print(f"binarize x4:           "
+    print(f"binarize x4 (XLA):     "
           f"{timings['binarize_x4'] * 1e3:9.1f} ms", flush=True)
+
+    from acoss_tpu.ops.crp_pallas import binarize_matrix_batch
+
+    @jax.jit
+    def binarize_pallas(r, c):
+        def mk(rr, cc):
+            l1e = rr["length"] - m + 1
+            l2e = cc["length"] - m + 1
+            csm = crp.sliding_csm_padded(
+                crp.get_csm(rr["chroma"], cc["chroma"]), m)
+            return csm, l1e, l2e
+        csm, l1e, l2e = jax.vmap(jax.vmap(mk, in_axes=(None, 0)),
+                                 in_axes=(0, None))(r, c)
+        Lw = csm.shape[-1]
+        D = jnp.tile(csm.reshape(-1, Lw, Lw), (4, 1, 1)) \
+            + jnp.arange(4).repeat(t8 * t8)[:, None, None] * 1e-3
+        ml = jnp.tile(l1e.reshape(-1), 4)
+        nl = jnp.tile(l2e.reshape(-1), 4)
+        return binarize_matrix_batch(D, ml, nl, kappa=kappa).sum()
+
+    timings["binarize_pl"] = _amortized(binarize_pallas, tiles, args.reps)
+    print(f"binarize x4 (Pallas):  "
+          f"{timings['binarize_pl'] * 1e3:9.1f} ms", flush=True)
 
     def csm_ssms_pair(r, c):
         return crp.get_csm(r["ssms"], c["ssms"]).sum()
