@@ -374,3 +374,87 @@ def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
     if mutual:
         kr = kr & (jnp.round(kappa * l1.astype(jnp.float32)[:B]) > 0)
     return S * kr[:, None, None].astype(S.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Row-kNN threshold mask: the get_S selection of the SNF diffusion
+# ---------------------------------------------------------------------------
+#
+# `fusion.get_S` truncates each row of an affinity matrix to its k
+# LARGEST entries (rank threshold, ties kept — `SimilarityFusion.py:
+# 157-177`) before the diffusion einsums. On the EarlySNF tile the XLA
+# `lax.top_k` over the fused 896-wide rows measured 17.2 ms of the tile
+# (RESULTS.md round-4 selection micro-benchmarks). The k-th value is a
+# pure rank statistic, so the same 32-pass bit-pattern search emits the
+# EXACT threshold and the masked matrix bit-identically — in both the
+# parity and throughput SNF modes.
+
+def _knn_mask_kernel(largest, L, w_ref, k_ref, v_ref, bits_ref):
+    PB = w_ref.shape[0]
+    g = pl.program_id(0)
+    ks = []
+    for p in range(PB):
+        W = w_ref[p]
+        D = -W if largest else W
+        D = jnp.where(D == 0.0, jnp.float32(0.0), D)
+        b = D.view(jnp.int32)
+        bits_ref[p] = b ^ (jax.lax.shift_right_arithmetic(b, 31)
+                           & jnp.int32(0x7FFFFFFF))
+        ks.append(jnp.clip(k_ref[g * PB + p], 1, L)
+                  .astype(jnp.float32))
+
+    bits = [bits_ref[p] for p in range(PB)]
+
+    def search(it, carry):
+        out = []
+        for p in range(PB):
+            lo, hi = carry[p]
+            mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
+            cnt = jnp.sum((bits[p] <= mid).astype(jnp.float32),
+                          axis=1, keepdims=True)
+            ge = cnt >= ks[p]
+            out.append((jnp.where(ge, lo, mid + 1),
+                        jnp.where(ge, mid, hi)))
+        return tuple(out)
+
+    init = tuple((jnp.full((L, 1), _MIN_FINITE_KEY, jnp.int32),
+                  jnp.full((L, 1), _MAX_FINITE_BITS, jnp.int32))
+                 for _ in range(PB))
+    res = jax.lax.fori_loop(0, 32, search, init)
+    for p in range(PB):
+        _, t = res[p]
+        v_ref[p] = jnp.where(bits[p] <= t, w_ref[p], jnp.float32(0.0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("largest", "interpret"))
+def knn_mask_matrix_batch(W, k, largest: bool = True,
+                          interpret: bool = False):
+    """Per-row rank-threshold mask of a (B, n, n) float32 batch.
+
+    Returns `jnp.where(W >= t, W, 0)` with t the per-row k[b]-th
+    LARGEST value (or k-th smallest with `largest=False`) — ties at the
+    threshold all kept, bit-identical to the `fusion.get_S` /
+    `fusion._kth_smallest` rank-threshold convention. k: (B,) int32,
+    may be traced; clamped to [1, n] like the XLA path.
+    """
+    W = jnp.asarray(W, jnp.float32)
+    B, n, n2 = W.shape
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (B,))
+
+    V = pl.pallas_call(
+        functools.partial(_knn_mask_kernel, largest, n),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, n2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, n, n2), jnp.int32)],
+        interpret=interpret,
+    )(W, k)
+    return V

@@ -211,6 +211,37 @@ def get_P(W: jax.Array, reg_diag: bool = False) -> jax.Array:
     return W / row[:, None]
 
 
+def _pallas_mode() -> str:
+    """The alignment layer's backend decision as a static jit key
+    ("pallas" / "pallas_interpret" / "xla"), so flipping the impl
+    cannot reuse a stale cached trace."""
+    from acoss_tpu.ops import alignment
+
+    pallas, interp = alignment._use_pallas()
+    return "pallas_interpret" if (pallas and interp) else (
+        "pallas" if pallas else "xla")
+
+
+def _get_S_stack(Ws: jax.Array, K, k_static_max: int | None,
+                 pl_mode: str) -> jax.Array:
+    """vmap(get_S) over a (F, n, n) stack; on TPU the rank-threshold
+    selection runs in the Pallas bit-search kernel
+    (`crp_pallas.knn_mask_matrix_batch`) — bit-identical masked values,
+    so both SNF precision modes keep their numbers."""
+    F, n, _ = Ws.shape
+    if pl_mode != "xla":
+        from acoss_tpu.ops.crp_pallas import knn_mask_matrix_batch
+
+        kk = jnp.broadcast_to(jnp.asarray(K, jnp.int32), (F,))
+        V = knn_mask_matrix_batch(
+            Ws, kk, largest=True,
+            interpret=(pl_mode == "pallas_interpret"))
+        norm = jnp.sum(V, axis=2)
+        norm = jnp.where(norm == 0, 1.0, norm)
+        return V / norm[..., None]
+    return jax.vmap(lambda W: get_S(W, K, k_static_max))(Ws)
+
+
 def get_S(W: jax.Array, K, k_static_max: int | None = None) -> jax.Array:
     """Row-kNN-truncated, L1-row-normalized version of W (kept dense — the
     MXU prefers a dense masked matmul over sparse ops).
@@ -267,21 +298,22 @@ def snf_ws(Ws: jax.Array, K, niters: int = 20,
         k_static_max = _host_int(K)
     return _snf_ws_impl(Ws, K, niters=niters, reg_diag=reg_diag,
                         sequential=sequential, k_static_max=k_static_max,
-                        precision=precision)
+                        precision=precision, pl_mode=_pallas_mode())
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("niters", "reg_diag", "sequential", "k_static_max",
-                     "precision"))
+                     "precision", "pl_mode"))
 def _snf_ws_impl(Ws: jax.Array, K, niters: int = 20,
                  reg_diag: bool = True, sequential: bool = False,
                  k_static_max: int | None = None,
-                 precision: str = "highest") -> jax.Array:
+                 precision: str = "highest",
+                 pl_mode: str = "xla") -> jax.Array:
     Ws = jnp.asarray(Ws)
     F = Ws.shape[0]
     Ps = jax.vmap(lambda W: get_P(W, reg_diag))(Ws)
-    Ss = jax.vmap(lambda W: get_S(W, K, k_static_max))(Ws)
+    Ss = _get_S_stack(Ws, K, k_static_max, pl_mode)
 
     def diffuse(S_i, mean_others):
         nxt = jnp.einsum("ij,jk,lk->il", S_i, mean_others, S_i,
@@ -316,19 +348,22 @@ def snf(Ds, K=5, niters: int = 20, reg_diag: bool = True,
     if k_static_max is None:
         k_static_max = _host_int(K)
     return _snf_impl(Ds, K, niters=niters, reg_diag=reg_diag,
-                     sequential=sequential, k_static_max=k_static_max)
+                     sequential=sequential, k_static_max=k_static_max,
+                     pl_mode=_pallas_mode())
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max",
+                     "pl_mode"))
 def _snf_impl(Ds, K=5, niters: int = 20, reg_diag: bool = True,
-              sequential: bool = False, k_static_max: int | None = None):
+              sequential: bool = False, k_static_max: int | None = None,
+              pl_mode: str = "xla"):
     Ds = jnp.asarray(Ds)
     Ws = jax.vmap(lambda D: get_W(D, K, k_static_max=k_static_max))(Ds)
     return Ws, _snf_ws_impl(Ws, K=K, niters=niters, reg_diag=reg_diag,
                             sequential=sequential,
-                            k_static_max=k_static_max)
+                            k_static_max=k_static_max, pl_mode=pl_mode)
 
 
 def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
@@ -343,19 +378,23 @@ def snf_padded(Ds: jax.Array, K, niters: int = 20, reg_diag: bool = True,
         k_static_max = _host_int(K)
     return _snf_padded_impl(Ds, K, niters=niters, reg_diag=reg_diag,
                             length=length, sequential=sequential,
-                            k_static_max=k_static_max)
+                            k_static_max=k_static_max,
+                            pl_mode=_pallas_mode())
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("niters", "reg_diag", "sequential", "k_static_max"))
+    static_argnames=("niters", "reg_diag", "sequential", "k_static_max",
+                     "pl_mode"))
 def _snf_padded_impl(Ds: jax.Array, K, niters: int = 20,
                      reg_diag: bool = True, length=None,
                      sequential: bool = False,
-                     k_static_max: int | None = None):
+                     k_static_max: int | None = None,
+                     pl_mode: str = "xla"):
     Ds = jnp.asarray(Ds)
     K = jnp.asarray(K, jnp.int32)
     Ws = jax.vmap(lambda D: get_W(D, K, length=length,
                                   k_static_max=k_static_max))(Ds)
     return _snf_ws_impl(Ws, K=K, niters=niters, reg_diag=reg_diag,
-                        sequential=sequential, k_static_max=k_static_max)
+                        sequential=sequential, k_static_max=k_static_max,
+                        pl_mode=pl_mode)

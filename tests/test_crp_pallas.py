@@ -154,6 +154,31 @@ def test_serra_tile_scores_fused_matches_xla():
                                    np.asarray(out_x[k]), atol=1e-5)
 
 
+def test_knn_mask_matches_get_s_selection(rng):
+    """The Pallas rank-threshold mask == fusion.get_S's selection,
+    bit-for-bit (values AND tie sets), for k-th largest and smallest."""
+    from acoss_tpu.ops import fusion
+    from acoss_tpu.ops.crp_pallas import knn_mask_matrix_batch
+
+    F, n = 3, 96
+    W = rng.random((F, n, n)).astype(np.float32)
+    W[rng.random((F, n, n)) < 0.2] = 0.25   # plant ties
+    k = np.array([5, 17, 96], np.int32)     # incl. k == n edge
+    V = np.asarray(knn_mask_matrix_batch(W, k, largest=True,
+                                         interpret=True))
+    for f in range(F):
+        thresh = -np.asarray(fusion._kth_smallest(
+            jnp.asarray(-W[f]), int(k[f]), int(k[f])))
+        R = np.where(W[f] >= thresh, W[f], 0.0)
+        np.testing.assert_array_equal(V[f], R)
+    # full get_S equivalence through the stack helper
+    S_pl = np.asarray(fusion._get_S_stack(
+        jnp.asarray(W), jnp.asarray(17), 17, "pallas_interpret"))
+    S_x = np.asarray(fusion._get_S_stack(
+        jnp.asarray(W), jnp.asarray(17), 17, "xla"))
+    np.testing.assert_array_equal(S_pl, S_x)
+
+
 def test_early_snf_tile_scores_pallas_matches_xla():
     """The full EarlySNF tile (incl. the SNF channel's negated cross
     block) through the matrix-input binarizer == the XLA path."""
