@@ -426,23 +426,9 @@ def _knn_mask_kernel(largest, L, w_ref, k_ref, v_ref, bits_ref):
         v_ref[p] = jnp.where(bits[p] <= t, w_ref[p], jnp.float32(0.0))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("largest", "interpret"))
-def knn_mask_matrix_batch(W, k, largest: bool = True,
-                          interpret: bool = False):
-    """Per-row rank-threshold mask of a (B, n, n) float32 batch.
-
-    Returns `jnp.where(W >= t, W, 0)` with t the per-row k[b]-th
-    LARGEST value (or k-th smallest with `largest=False`) — ties at the
-    threshold all kept, bit-identical to the `fusion.get_S` /
-    `fusion._kth_smallest` rank-threshold convention. k: (B,) int32,
-    may be traced; clamped to [1, n] like the XLA path.
-    """
-    W = jnp.asarray(W, jnp.float32)
+def _knn_mask_call(W, k, largest: bool, interpret: bool):
     B, n, n2 = W.shape
-    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (B,))
-
-    V = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_knn_mask_kernel, largest, n),
         grid=(B,),
         in_specs=[
@@ -457,4 +443,56 @@ def knn_mask_matrix_batch(W, k, largest: bool = True,
         scratch_shapes=[pltpu.VMEM((1, n, n2), jnp.int32)],
         interpret=interpret,
     )(W, k)
-    return V
+
+
+_KNN_VMAP_CACHE: dict = {}
+
+
+def _knn_mask_vmappable(largest: bool, interpret: bool):
+    """`_knn_mask_call` wrapped in a custom_vmap that FLATTENS mapped
+    axes into the kernel's grid axis. The call sites sit inside vmapped
+    per-pair functions (`fusion._get_S_stack` under the EarlySNF tile's
+    pair grid); pallas_call's default batching rule adds leading grid
+    dims whose squeezed SMEM block spec fails the Mosaic TPU lowering
+    (observed: `(Squeezed, Squeezed, Blocked(2))` on args[1]).
+    Flattening is exact — the kernel is independent per matrix."""
+    key = (largest, interpret)
+    fn = _KNN_VMAP_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_batching.custom_vmap
+    def fn(W, k):
+        return _knn_mask_call(W, k, largest, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, W, k):   # noqa: ANN001
+        wb, kb = in_batched
+        if not wb:
+            W = jnp.broadcast_to(W[None], (axis_size,) + W.shape)
+        if not kb:
+            k = jnp.broadcast_to(k[None], (axis_size,) + k.shape)
+        out = fn(W.reshape((-1,) + W.shape[2:]), k.reshape(-1))
+        return out.reshape(W.shape), True
+
+    _KNN_VMAP_CACHE[key] = fn
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("largest", "interpret"))
+def knn_mask_matrix_batch(W, k, largest: bool = True,
+                          interpret: bool = False):
+    """Per-row rank-threshold mask of a (B, n, n) float32 batch.
+
+    Returns `jnp.where(W >= t, W, 0)` with t the per-row k[b]-th
+    LARGEST value (or k-th smallest with `largest=False`) — ties at the
+    threshold all kept, bit-identical to the `fusion.get_S` /
+    `fusion._kth_smallest` rank-threshold convention. k: (B,) int32,
+    may be traced; clamped to [1, n] like the XLA path. vmap-safe:
+    mapped axes flatten into the grid axis (see `_knn_mask_vmappable`).
+    """
+    W = jnp.asarray(W, jnp.float32)
+    B = W.shape[0]
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (B,))
+    return _knn_mask_vmappable(largest, interpret)(W, k)

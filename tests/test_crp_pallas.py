@@ -179,6 +179,28 @@ def test_knn_mask_matches_get_s_selection(rng):
     np.testing.assert_array_equal(S_pl, S_x)
 
 
+def test_knn_mask_under_vmap(rng):
+    """vmap flattens into the grid axis (custom_vmap rule) — the
+    EarlySNF tile calls the kernel inside a vmapped per-pair function,
+    where pallas_call's default batching rule fails the TPU lowering."""
+    from acoss_tpu.ops.crp_pallas import knn_mask_matrix_batch
+
+    G, F, n = 4, 2, 64
+    W = rng.random((G, F, n, n)).astype(np.float32)
+    k = rng.integers(1, n, (G, F)).astype(np.int32)
+    fn = lambda w, kk: knn_mask_matrix_batch(w, kk, interpret=True)
+    V = np.asarray(jax.vmap(fn)(jnp.asarray(W), jnp.asarray(k)))
+    flat = np.asarray(fn(jnp.asarray(W.reshape(-1, n, n)),
+                         jnp.asarray(k.reshape(-1))))
+    np.testing.assert_array_equal(V, flat.reshape(V.shape))
+    # unbatched-k leg of the rule
+    V2 = np.asarray(jax.vmap(lambda w: fn(w, jnp.asarray(k[0])))(
+        jnp.asarray(W)))
+    for g in range(G):
+        np.testing.assert_array_equal(
+            V2[g], np.asarray(fn(jnp.asarray(W[g]), jnp.asarray(k[0]))))
+
+
 def test_early_snf_tile_scores_pallas_matches_xla():
     """The full EarlySNF tile (incl. the SNF channel's negated cross
     block) through the matrix-input binarizer == the XLA path."""
