@@ -755,6 +755,7 @@ def run_pairwise_hybrid(
     skip_symmetrize: bool = False,
     panel_filter=None,
     prefetch_panels: bool = True,
+    panel_times: list | None = None,
 ) -> dict:
     """Hybrid device-panel / disk-column sweep for corpora whose
     descriptors fit neither HBM nor host RAM (Serra09-FULL / EarlySNF at
@@ -896,6 +897,13 @@ def run_pairwise_hybrid(
                              {k: v[i] for k, v in stack.items()})
         del panel_dev
         sweep.flush()
+        if panel_times is not None:
+            # cumulative seconds at each panel boundary: callers derive
+            # warm per-tile costs from the LAST panel's delta (the first
+            # panel absorbs the per-process program first-executions,
+            # which dominate through a remote tunnel — RESULTS.md
+            # measurement pitfalls)
+            panel_times.append(time.time() - t0)
         if verbose:
             print(f"[{algorithm.NAME}] panel {p + 1}/{n_panels} "
                   f"({time.time() - t0:.1f}s)")

@@ -157,12 +157,14 @@ def main() -> int:
              hybrid_panel=-(-args.panel_songs // args.tile) * args.tile)
 
     n_swept = sum(ti + 1 for ti in range(lim))   # lower tiles incl. diag
+    panel_times: list = []
     t0 = time.time()
     run_pairwise_hybrid(algo, desc, n, panel_songs=args.panel_songs,
                         tile=args.tile, scores_dir=scores_dir,
                         checkpoint_path=ckpt, verbose=True,
                         skip_symmetrize=True,
-                        prefetch_panels=not args.no_panel_prefetch)
+                        prefetch_panels=not args.no_panel_prefetch,
+                        panel_times=panel_times)
     dt = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     per_tile = dt / max(n_swept, 1)
@@ -176,6 +178,18 @@ def main() -> int:
           f"{total_tiles} tiles -> {total_tiles * per_tile / 3600:.2f} h")
     print(f"15k extrapolation at this per-tile cost: {full_tiles} tiles "
           f"-> {full_tiles * per_tile / 3600:.1f} h/chip")
+    if len(panel_times) >= 2:
+        # last panel = warm per-tile (the first panel absorbs the
+        # per-process program first-executions, minutes through this
+        # tunnel — RESULTS.md measurement pitfalls); at 15k the warm
+        # share is ~100%, so this is the honest extrapolation basis
+        tpp = args.panel_songs // args.tile
+        last_rows = range((len(panel_times) - 1) * tpp, lim)
+        last_tiles = sum(ti + 1 for ti in last_rows)
+        warm = (panel_times[-1] - panel_times[-2]) / max(last_tiles, 1)
+        print(f"warm (last panel): {last_tiles} tiles at "
+              f"{warm * 1e3:.1f} ms/tile -> 15k "
+              f"{full_tiles * warm / 3600:.1f} h/chip")
     if not args.keep:
         shutil.rmtree(args.workdir, ignore_errors=True)
     return 0
