@@ -53,10 +53,15 @@ class EarlySNF(Serra09):
         self.SIMILARITY_TYPES = self.SIMILARITY_TYPES + (
             "snf_qmax", "snf_dmax")
 
-    def _pair_mats(self, r, c):
+    def _pair_mats(self, r, c, fast_w: str | None = None):
         """The four per-pair matrices the tile binarizes: chroma sliding
         CSM, mfcc sliding CSM, [ssms CSM,] negated fused SNF cross block
-        — in the channel order of `tile_scores`."""
+        — in the channel order of `tile_scores`.
+
+        fast_w: None = exact XLA affinity builds (parity); "pallas" /
+        "pallas_interpret" = the fused throughput-mode WCSMSSM kernel
+        (`fusion.get_WCSMSSM_fast`), enabled by tile_scores only when
+        snf_precision == "default"."""
         m = self.m
         if self.oti:
             oti = crp.get_oti(r["gchroma"], c["gchroma"])
@@ -76,9 +81,17 @@ class EarlySNF(Serra09):
         # lax.top_k instead of full-width row sorts (bit-identical)
         kmax = int(np.ceil(
             self.kappa * (ssma_c.shape[0] + ssmb_c.shape[0]))) + 1
-        Ws = [fusion.get_WCSMSSM(ssma_c, ssmb_c, csm_c, K,
-                                 m_len=l1e, n_len=l2e,
-                                 k_static_max=kmax)]
+        if fast_w is not None:
+            def build_w(sa, sb, cab):
+                return fusion.get_WCSMSSM_fast(
+                    sa, sb, cab, K, m_len=l1e, n_len=l2e,
+                    interpret=(fast_w == "pallas_interpret"))
+        else:
+            def build_w(sa, sb, cab):
+                return fusion.get_WCSMSSM(sa, sb, cab, K,
+                                          m_len=l1e, n_len=l2e,
+                                          k_static_max=kmax)
+        Ws = [build_w(ssma_c, ssmb_c, csm_c)]
         if self.do_ssms:
             # ssms arrive PRE-CENTERED by tile_scores (tile-shared
             # origin — pair-independent operands; see
@@ -87,9 +100,7 @@ class EarlySNF(Serra09):
             csm_s = crp.get_csm(r["ssms"], c["ssms"])
             ssma_s = crp.get_ssm(r["ssms"])
             ssmb_s = crp.get_ssm(c["ssms"])
-            Ws.append(fusion.get_WCSMSSM(ssma_s, ssmb_s, csm_s, K,
-                                         m_len=l1e, n_len=l2e,
-                                         k_static_max=kmax))
+            Ws.append(build_w(ssma_s, ssmb_s, csm_s))
         fused = fusion.snf_ws(jnp.stack(Ws), K=K, niters=self.snf_niters,
                               reg_diag=True, sequential=self.sequential,
                               k_static_max=kmax,
@@ -122,8 +133,14 @@ class EarlySNF(Serra09):
             # all (nf * bi * bj) binarizations in ONE exact in-VMEM
             # Pallas pass (`crp_pallas.binarize_matrix_batch`) instead
             # of per-pair XLA top_k selections — bit-identical CRPs
-            # (same fractional-kappa gate as the Serra09 fused kernel)
-            pair = jax.vmap(jax.vmap(self._pair_mats, in_axes=(None, 0)),
+            # (same fractional-kappa gate as the Serra09 fused kernel).
+            # The throughput mode additionally builds the WCSMSSM
+            # affinities in the fused kernel (value-equal, ~1e-6).
+            fast_w = None
+            if self.snf_precision == "default":
+                fast_w = "pallas_interpret" if interp else "pallas"
+            mats = lambda r, c: self._pair_mats(r, c, fast_w=fast_w)
+            pair = jax.vmap(jax.vmap(mats, in_axes=(None, 0)),
                             in_axes=(0, None))
             Ms, l1e, l2e = pair(row, col)
             nf = len(Ms)

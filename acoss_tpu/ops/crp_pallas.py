@@ -389,58 +389,62 @@ def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
 # EXACT threshold and the masked matrix bit-identically — in both the
 # parity and throughput SNF modes.
 
-def _knn_mask_kernel(largest, L, w_ref, k_ref, v_ref, bits_ref):
-    PB = w_ref.shape[0]
+def _knn_mask_kernel(largest, RB, n, w_ref, k_ref, v_ref, bits_ref):
+    # grid = (B, rows/RB): selections are row-independent, so each
+    # step owns an (RB, n) row slab — keeps VMEM (with Pallas's
+    # double-buffered blocks) bounded at any n (a whole-(n, n) block
+    # OOMed scoped vmem at n >= 896)
     g = pl.program_id(0)
-    ks = []
-    for p in range(PB):
-        W = w_ref[p]
-        D = -W if largest else W
-        D = jnp.where(D == 0.0, jnp.float32(0.0), D)
-        b = D.view(jnp.int32)
-        bits_ref[p] = b ^ (jax.lax.shift_right_arithmetic(b, 31)
-                           & jnp.int32(0x7FFFFFFF))
-        ks.append(jnp.clip(k_ref[g * PB + p], 1, L)
-                  .astype(jnp.float32))
-
-    bits = [bits_ref[p] for p in range(PB)]
+    W = w_ref[0]
+    D = -W if largest else W
+    D = jnp.where(D == 0.0, jnp.float32(0.0), D)
+    b = D.view(jnp.int32)
+    bits_ref[0] = b ^ (jax.lax.shift_right_arithmetic(b, 31)
+                       & jnp.int32(0x7FFFFFFF))
+    k = jnp.clip(k_ref[g], 1, n).astype(jnp.float32)
+    bits = bits_ref[0]
 
     def search(it, carry):
-        out = []
-        for p in range(PB):
-            lo, hi = carry[p]
-            mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
-            cnt = jnp.sum((bits[p] <= mid).astype(jnp.float32),
-                          axis=1, keepdims=True)
-            ge = cnt >= ks[p]
-            out.append((jnp.where(ge, lo, mid + 1),
-                        jnp.where(ge, mid, hi)))
-        return tuple(out)
+        lo, hi = carry
+        mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
+        cnt = jnp.sum((bits <= mid).astype(jnp.float32),
+                      axis=1, keepdims=True)
+        ge = cnt >= k
+        return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi))
 
-    init = tuple((jnp.full((L, 1), _MIN_FINITE_KEY, jnp.int32),
-                  jnp.full((L, 1), _MAX_FINITE_BITS, jnp.int32))
-                 for _ in range(PB))
-    res = jax.lax.fori_loop(0, 32, search, init)
-    for p in range(PB):
-        _, t = res[p]
-        v_ref[p] = jnp.where(bits[p] <= t, w_ref[p], jnp.float32(0.0))
+    init = (jnp.full((RB, 1), _MIN_FINITE_KEY, jnp.int32),
+            jnp.full((RB, 1), _MAX_FINITE_BITS, jnp.int32))
+    _, t = jax.lax.fori_loop(0, 32, search, init)
+    v_ref[0] = jnp.where(bits <= t, w_ref[0], jnp.float32(0.0))
+
+
+def _row_block(n: int, budget_bytes: int = 4 << 20) -> int:
+    """Largest row-slab height that divides n, keeps the slab's
+    double-buffered VMEM (in + out + scratch ~ 4 copies of RB x n fp32)
+    under `budget_bytes`, and respects the fp32 (8, 128) tile."""
+    cap = max(budget_bytes // (16 * n), 8)
+    rb = n
+    while rb > cap and rb % 2 == 0:
+        rb //= 2
+    return rb
 
 
 def _knn_mask_call(W, k, largest: bool, interpret: bool):
     B, n, n2 = W.shape
+    RB = _row_block(n)
     return pl.pallas_call(
-        functools.partial(_knn_mask_kernel, largest, n),
-        grid=(B,),
+        functools.partial(_knn_mask_kernel, largest, RB, n2),
+        grid=(B, n // RB),
         in_specs=[
-            pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, RB, n2), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B,), lambda b: (0,),
+            pl.BlockSpec((B,), lambda b, r: (0,),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, n2), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, RB, n2), lambda b, r: (b, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n, n2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, n, n2), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, RB, n2), jnp.int32)],
         interpret=interpret,
     )(W, k)
 
@@ -477,6 +481,188 @@ def _knn_mask_vmappable(largest: bool, interpret: bool):
 
     _KNN_VMAP_CACHE[key] = fn
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Fused WCSMSSM affinity build (throughput mode)
+# ---------------------------------------------------------------------------
+#
+# `fusion.get_WCSMSSM` builds the joint SNF parent affinity
+# [[W_SSMA, W_CSM], [W_CSM^T, W_SSMB]] with SIX mean-of-k-smallest
+# selections per build (`SimilarityFusion.py:50-132` semantics) — the
+# largest EarlySNF tile compute component after the fast-SNF change
+# (44.7 ms of the tile, RESULTS.md round-4 decomposition). This kernel
+# fuses the whole build in VMEM: the k-th order statistics come from
+# the same 32-pass bit-pattern search, and the mean of the k smallest
+# is reconstructed as sum(values < t) + (k - count<t) * t — the same
+# SET of values as the XLA ascending cumsum, summed in row order, so
+# results are VALUE-equal up to fp32 summation order (~1e-6 relative),
+# NOT bit-identical. It therefore serves the EXPLICIT throughput mode
+# only (`EarlySNF(snf_precision="default")`, CLI --snf-precision);
+# the parity path keeps the XLA build.
+
+def _key_of(D):
+    """Signed monotone int32 keys (see `_binarize_kernel`)."""
+    D = jnp.where(D == 0.0, jnp.float32(0.0), D)
+    b = D.view(jnp.int32)
+    return b ^ (jax.lax.shift_right_arithmetic(b, 31)
+                & jnp.int32(0x7FFFFFFF))
+
+
+def _mean_k_smallest_vmem(vals, k, axis):
+    """Per-row (axis=1) / per-col (axis=0) mean of the k smallest
+    entries of a VMEM-resident (L, N) matrix; k a traced float scalar
+    (already clipped to [1, width])."""
+    keys = _key_of(vals)
+    L, N = vals.shape
+    shape = (L, 1) if axis == 1 else (1, N)
+
+    def body(it, c):
+        lo, hi = c
+        mid = (lo & hi) + jax.lax.shift_right_arithmetic(lo ^ hi, 1)
+        cnt = jnp.sum((keys <= mid).astype(jnp.float32),
+                      axis=axis, keepdims=True)
+        ge = cnt >= k
+        return (jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi))
+
+    lo = jnp.full(shape, _MIN_FINITE_KEY, jnp.int32)
+    hi = jnp.full(shape, _MAX_FINITE_BITS, jnp.int32)
+    _, t_key = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    t_val = jax.lax.bitcast_convert_type(
+        t_key ^ (jax.lax.shift_right_arithmetic(t_key, 31)
+                 & jnp.int32(0x7FFFFFFF)), jnp.float32)
+    lt = keys < t_key
+    cnt_lt = jnp.sum(lt.astype(jnp.float32), axis=axis, keepdims=True)
+    s_lt = jnp.sum(jnp.where(lt, vals, 0.0), axis=axis, keepdims=True)
+    return (s_lt + (k - cnt_lt) * t_val) / k
+
+
+def _wcsmssm_kernel(Mu, L,
+                    ssma_ref, ssmb_ref, csm_ref,
+                    l1_ref, l2_ref, K_ref,
+                    wa_ref, wb_ref, wc_ref):
+    g = pl.program_id(0)
+    m_len = l1_ref[g]
+    n_len = l2_ref[g]
+    K = K_ref[g]
+    # neighbor budget split (`SimilarityFusion.py:110-132`)
+    k1 = (K * m_len) // jnp.maximum(m_len + n_len, 1)
+    k2 = K - k1
+    ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    big = jnp.float32(1e30)          # fusion._BIG, bit-exactly
+
+    def clipf(k):
+        return jnp.clip(k, 1, L).astype(jnp.float32)
+
+    def gw(D, K_, length):
+        # `fusion.get_W` (SimilarityFusion.py:50-71 / Eq. 1)
+        DSym = 0.5 * (D + D.T)
+        DSym = jnp.where(ii == jj, 0.0, DSym)
+        col_ok = jj < length
+        Dknn = jnp.where(col_ok, DSym, big)
+        mean_raw = _mean_k_smallest_vmem(Dknn, clipf(K_ + 1), axis=1)
+        Kf = K_.astype(jnp.float32)
+        mean_d = mean_raw * (Kf + 1.0) / jnp.maximum(Kf, 1.0)
+        eps = (mean_d + mean_d.reshape(1, L) + DSym) / 3.0
+        denom = 2.0 * (Mu * eps) ** 2
+        denom = jnp.where(denom == 0, 1.0, denom)
+        W = jnp.exp(-DSym * DSym / denom)
+        return jnp.where((ii < length) & col_ok, W, 0.0)
+
+    def gwc(C):
+        # `fusion.get_WCSM` (SimilarityFusion.py:74-89), incl. the
+        # zero-denominator guard deviation documented there
+        Cm = jnp.where(jj < n_len, C, big)
+        Cm = jnp.where(ii < m_len, Cm, big)
+        m1 = _mean_k_smallest_vmem(Cm, clipf(k2), axis=1)   # (L, 1)
+        m2 = _mean_k_smallest_vmem(Cm, clipf(k1), axis=0)   # (1, L)
+        eps = (m1 + m2 + C) / 3.0
+        denom = 2.0 * (Mu * eps) ** 2
+        denom = jnp.where(denom == 0, 1.0, denom)
+        W = jnp.exp(-C * C / denom)
+        return jnp.where((ii < m_len) & (jj < n_len), W, 0.0)
+
+    wa_ref[0] = gw(ssma_ref[0], k1, m_len)
+    wb_ref[0] = gw(ssmb_ref[0], k2, n_len)
+    wc_ref[0] = gwc(csm_ref[0])
+
+
+def _wcsmssm_call(SSMA, SSMB, CSM, l1, l2, K, Mu: float,
+                  interpret: bool):
+    B, L, L2 = SSMA.shape
+    blk = pl.BlockSpec((1, L, L2), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM)
+    # quadrants come out separately (one (2L, 2L) out block + in-kernel
+    # concats would blow the double-buffered VMEM budget); XLA
+    # assembles [[WA, WC], [WC^T, WB]] outside
+    WA, WB, WC = pl.pallas_call(
+        functools.partial(_wcsmssm_kernel, Mu, L),
+        grid=(B,),
+        in_specs=[blk, blk, blk, smem, smem, smem],
+        out_specs=(blk, blk, blk),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, L, L2), jnp.float32)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(SSMA, SSMB, CSM, l1, l2, K)
+    top = jnp.concatenate([WA, WC], axis=2)
+    bot = jnp.concatenate([jnp.swapaxes(WC, 1, 2), WB], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+_WCSMSSM_VMAP_CACHE: dict = {}
+
+
+def _wcsmssm_vmappable(Mu: float, interpret: bool):
+    """`_wcsmssm_call` with mapped axes flattened into the grid axis
+    (same custom_vmap scheme as `_knn_mask_vmappable` — the call sites
+    sit inside the EarlySNF tile's vmapped per-pair function)."""
+    key = (Mu, interpret)
+    fn = _WCSMSSM_VMAP_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_batching.custom_vmap
+    def fn(SSMA, SSMB, CSM, l1, l2, K):
+        return _wcsmssm_call(SSMA, SSMB, CSM, l1, l2, K, Mu, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):   # noqa: ANN001
+        full = []
+        for a, ab in zip(args, in_batched):
+            if not ab:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            full.append(a)
+        SSMA, SSMB, CSM, l1, l2, K = full
+        out = fn(SSMA.reshape((-1,) + SSMA.shape[2:]),
+                 SSMB.reshape((-1,) + SSMB.shape[2:]),
+                 CSM.reshape((-1,) + CSM.shape[2:]),
+                 l1.reshape(-1), l2.reshape(-1), K.reshape(-1))
+        return out.reshape(SSMA.shape[:2] + out.shape[1:]), True
+
+    _WCSMSSM_VMAP_CACHE[key] = fn
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("Mu", "interpret"))
+def wcsmssm_batch(SSMA, SSMB, CSM, l1, l2, K, Mu: float = 0.5,
+                  interpret: bool = False):
+    """Batched fused WCSMSSM parent affinities (B, 2L, 2L).
+
+    Value-equal to `fusion.get_WCSMSSM` up to fp32 summation order in
+    the neighborhood means (~1e-6 relative) — a THROUGHPUT mode, not
+    for bit-parity runs. l1/l2: (B,) valid row/col counts; K: (B,)
+    int32 neighbor budgets (kappa * (l1 + l2) at the call site).
+    vmap-safe: mapped axes flatten into the grid axis."""
+    SSMA = jnp.asarray(SSMA, jnp.float32)
+    SSMB = jnp.asarray(SSMB, jnp.float32)
+    CSM = jnp.asarray(CSM, jnp.float32)
+    B = SSMA.shape[0]
+    l1 = jnp.broadcast_to(jnp.asarray(l1, jnp.int32), (B,))
+    l2 = jnp.broadcast_to(jnp.asarray(l2, jnp.int32), (B,))
+    K = jnp.broadcast_to(jnp.asarray(K, jnp.int32), (B,))
+    return _wcsmssm_vmappable(Mu, interpret)(SSMA, SSMB, CSM, l1, l2, K)
 
 
 @functools.partial(

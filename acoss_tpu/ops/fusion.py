@@ -197,6 +197,30 @@ def get_WCSMSSM(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
     return setup_WCSMSSM(WSSMA, WSSMB, WCSMAB)
 
 
+def get_WCSMSSM_fast(SSMA, SSMB, CSMAB, K, Mu: float = 0.5,
+                     m_len=None, n_len=None,
+                     interpret: bool = False):
+    """`get_WCSMSSM` on the fused Pallas kernel
+    (`crp_pallas.wcsmssm_batch`): the six neighborhood-mean selections
+    run as in-VMEM bit-pattern searches instead of XLA top_k rows.
+
+    THROUGHPUT MODE: value-equal up to fp32 summation order in the
+    neighborhood means (~1e-6 relative), not bit-identical — gated by
+    `EarlySNF(snf_precision="default")` alongside the bf16 diffusion.
+    """
+    M = SSMA.shape[0]
+    N = SSMB.shape[0]
+    m = jnp.asarray(M if m_len is None else m_len, jnp.int32)
+    n = jnp.asarray(N if n_len is None else n_len, jnp.int32)
+    from acoss_tpu.ops.crp_pallas import wcsmssm_batch
+
+    W = wcsmssm_batch(SSMA[None], SSMB[None], CSMAB[None],
+                      m[None], n[None],
+                      jnp.asarray(K, jnp.int32)[None], Mu=Mu,
+                      interpret=interpret)
+    return W[0]
+
+
 def get_P(W: jax.Array, reg_diag: bool = False) -> jax.Array:
     """Row-stochastic matrix; optional 0.5 I + 0.5 P(off-diag) diagonal
     regularization (`SimilarityFusion.py:134-155`)."""

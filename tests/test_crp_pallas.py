@@ -201,6 +201,81 @@ def test_knn_mask_under_vmap(rng):
             V2[g], np.asarray(fn(jnp.asarray(W[g]), jnp.asarray(k[0]))))
 
 
+def test_wcsmssm_fused_matches_xla(rng):
+    """The throughput-mode fused WCSMSSM build == fusion.get_WCSMSSM up
+    to fp32 summation order in the neighborhood means."""
+    from acoss_tpu.ops import fusion
+    from acoss_tpu.ops.crp_pallas import wcsmssm_batch
+
+    B, L = 3, 64
+    SSMA = rng.random((B, L, L)).astype(np.float32)
+    SSMB = rng.random((B, L, L)).astype(np.float32)
+    CSM = rng.random((B, L, L)).astype(np.float32)
+    l1 = np.array([L, 40, 12], np.int32)
+    l2 = np.array([L, 56, 15], np.int32)
+    K = np.round(0.095 * (l1 + l2)).astype(np.int32)   # incl. tiny K
+    W = np.asarray(wcsmssm_batch(SSMA, SSMB, CSM, l1, l2, K,
+                                 interpret=True))
+    for b in range(B):
+        R = np.asarray(fusion.get_WCSMSSM(
+            jnp.asarray(SSMA[b]), jnp.asarray(SSMB[b]),
+            jnp.asarray(CSM[b]), int(K[b]),
+            m_len=int(l1[b]), n_len=int(l2[b]),
+            k_static_max=int(K[b]) + 1))
+        np.testing.assert_allclose(W[b], R, rtol=2e-5, atol=2e-6)
+
+
+def test_wcsmssm_fused_under_vmap(rng):
+    """get_WCSMSSM_fast inside a vmap (the EarlySNF call shape) equals
+    the flat batched call (custom_vmap flattening)."""
+    from acoss_tpu.ops import fusion
+    from acoss_tpu.ops.crp_pallas import wcsmssm_batch
+
+    G, L = 4, 48
+    SSMA = rng.random((G, L, L)).astype(np.float32)
+    SSMB = rng.random((G, L, L)).astype(np.float32)
+    CSM = rng.random((G, L, L)).astype(np.float32)
+    l1 = rng.integers(L // 2, L + 1, G).astype(np.int32)
+    l2 = rng.integers(L // 2, L + 1, G).astype(np.int32)
+    K = np.round(0.2 * (l1 + l2)).astype(np.int32)
+    V = np.asarray(jax.vmap(
+        lambda sa, sb, c, a, b, k: fusion.get_WCSMSSM_fast(
+            sa, sb, c, k, m_len=a, n_len=b, interpret=True))(
+        *(jnp.asarray(x) for x in (SSMA, SSMB, CSM, l1, l2, K))))
+    flat = np.asarray(wcsmssm_batch(SSMA, SSMB, CSM, l1, l2, K,
+                                    interpret=True))
+    np.testing.assert_array_equal(V, flat)
+
+
+def test_early_snf_throughput_tile_runs(rng):
+    """EarlySNF(snf_precision='default') through the fused Pallas
+    WCSMSSM (interpret) produces the same retrieval ORDER as the XLA
+    throughput path on separable data (scores are value-equal up to
+    fp32 summation order, so exact equality is not asserted)."""
+    from acoss_tpu.benchmarking.algorithms import EarlySNF
+    from acoss_tpu.data import make_synthetic_dataset
+    from acoss_tpu.ops import alignment
+
+    fs = make_synthetic_dataset(n_cliques=4, clique_size=2, seed=3)
+    algo = EarlySNF(chroma_type="hpcp", downsample_fac=4,
+                    snf_precision="default")
+    desc = algo.extract_descriptors(fs)
+    row = {k: v[:4] for k, v in desc.items()}
+    col = {k: v[4:8] for k, v in desc.items()}
+    out_x = jax.jit(algo.tile_scores)(row, col)
+    prev = alignment.set_alignment_impl("pallas_interpret")
+    try:
+        out_p = jax.jit(algo.tile_scores)(row, col)
+    finally:
+        alignment.set_alignment_impl(prev)
+    for k in out_x:
+        a, b = np.asarray(out_x[k]), np.asarray(out_p[k])
+        np.testing.assert_allclose(a, b, rtol=0.02, atol=0.02)
+        # retrieval order (the benchmark statistic) must agree
+        np.testing.assert_array_equal(np.argsort(-a, axis=1),
+                                      np.argsort(-b, axis=1))
+
+
 def test_early_snf_tile_scores_pallas_matches_xla():
     """The full EarlySNF tile (incl. the SNF channel's negated cross
     block) through the matrix-input binarizer == the XLA path."""
