@@ -47,6 +47,13 @@ class CoverAlgorithm:
     DISTANCE_TYPES: tuple = ()
     SYMMETRIC = True
     TILE = 16
+    #: instance attributes that only tune SCORING throughput/numerics
+    #: (SNF precision / update order, ...) and do not change the
+    #: extracted descriptors — a serving `CoverIndex` built under one
+    #: value answers queries correctly under another, so `CoverIndex.
+    #: load` warns instead of refusing when these drift.
+    SCORING_ONLY_PARAMS: frozenset = frozenset(
+        {"sequential", "snf_precision"})
 
     def extract_descriptors(self, fs: FeatureSet) -> dict:
         raise NotImplementedError

@@ -418,23 +418,41 @@ def _knn_mask_kernel(largest, RB, n, w_ref, k_ref, v_ref, bits_ref):
     v_ref[0] = jnp.where(bits <= t, w_ref[0], jnp.float32(0.0))
 
 
-def _row_block(n: int, budget_bytes: int = 4 << 20) -> int:
-    """Largest row-slab height that divides n, keeps the slab's
-    double-buffered VMEM (in + out + scratch ~ 4 copies of RB x n fp32)
-    under `budget_bytes`, and respects the fp32 (8, 128) tile."""
-    cap = max(budget_bytes // (16 * n), 8)
-    rb = n
-    while rb > cap and rb % 2 == 0:
-        rb //= 2
-    return rb
+# Mosaic keeps ~22 slab-sized fp32 temporaries live on the kernel VMEM
+# stack for `_knn_mask_kernel` (measured from the compiler's scoped-vmem
+# reports: 18.07M at a (224, 896) slab and 23.69M at (256, 1024), i.e.
+# ~90 bytes/element against the 16M scoped limit). The slab must be
+# sized by THAT constant — the previous 4-copies (16 B/elem) estimate
+# OOMed scoped vmem at n >= 896 inside the EarlySNF tile program.
+_STACK_BYTES_PER_ELEM = 96
+
+
+def _row_block(n: int, budget_bytes: int = 10 << 20) -> tuple[int, int]:
+    """Row-slab height RB (a power of two >= 8) and the padded row
+    count n_pad = ceil(n / RB) * RB it tiles. Rows are independent, so
+    callers pad the input rows to n_pad and slice the output back —
+    this keeps the slab under `budget_bytes` of estimated kernel-stack
+    VMEM for ANY n, including odd-factor widths (e.g. 896 = 128 * 7)
+    where the old halve-while-even search stalled above the cap."""
+    cap = max(budget_bytes // (_STACK_BYTES_PER_ELEM * n), 8)
+    if n <= cap:
+        return n, n
+    rb = 8
+    while rb * 2 <= cap:
+        rb *= 2
+    return rb, -(-n // rb) * rb
 
 
 def _knn_mask_call(W, k, largest: bool, interpret: bool):
     B, n, n2 = W.shape
-    RB = _row_block(n)
-    return pl.pallas_call(
+    RB, n_pad = _row_block(n)
+    if n_pad != n:
+        # padded rows are all-zero -> masked output rows are all-zero;
+        # sliced off below, never observed
+        W = jnp.pad(W, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
         functools.partial(_knn_mask_kernel, largest, RB, n2),
-        grid=(B, n // RB),
+        grid=(B, n_pad // RB),
         in_specs=[
             pl.BlockSpec((1, RB, n2), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -443,10 +461,11 @@ def _knn_mask_call(W, k, largest: bool, interpret: bool):
         ],
         out_specs=pl.BlockSpec((1, RB, n2), lambda b, r: (b, r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, n2), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, RB, n2), jnp.int32)],
         interpret=interpret,
     )(W, k)
+    return out[:, :n] if n_pad != n else out
 
 
 _KNN_VMAP_CACHE: dict = {}

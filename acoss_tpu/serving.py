@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import warnings
 
 import numpy as np
 
@@ -122,19 +124,33 @@ class CoverIndex:
 
     def save(self, path: str) -> None:
         """Persist to a DescriptorStore + meta (algorithm name, params,
-        tile, ids) so serving restarts skip extraction."""
-        os.makedirs(path, exist_ok=True)
-        # clear debris from an interrupted or differently-configured
-        # earlier save: DescriptorStore.ensure() reopens pre-existing
-        # memmaps r+ with their OLD dtype/width, which would silently
-        # cast (fp32 into a stale int8 map) or reject the new widths;
-        # flush() would also fold orphan keys into META via listdir
-        # (same guard as `descstore.extract_streamed`)
-        for fn in os.listdir(path):
-            if fn.endswith(".npy") or fn in (DescriptorStore.META,
-                                             self.META):
-                os.remove(os.path.join(path, fn))
-        store = DescriptorStore(path, self.n_songs)
+        tile, ids) so serving restarts skip extraction.
+
+        Written to a temp sibling directory first, then swapped in, so
+        `path` always holds either the previous complete index or the
+        new one — never a half-written mix (a stale store's memmaps
+        would otherwise be reopened r+ with their OLD dtype/width by
+        `DescriptorStore.ensure`). Refuses to replace a directory with
+        .npy content that is NOT a CoverIndex (no index meta): that is
+        someone else's data, not debris."""
+        path = os.path.abspath(path)
+        if os.path.isdir(path):
+            entries = os.listdir(path)
+            foreign = [fn for fn in entries if fn.endswith(".npy")
+                       or fn == DescriptorStore.META]
+            if foreign and self.META not in entries:
+                raise ValueError(
+                    f"{path} contains array data ({foreign[:3]}...) but"
+                    f" no {self.META}; refusing to overwrite a "
+                    f"directory that is not a CoverIndex")
+        elif os.path.exists(path):
+            raise ValueError(f"{path} exists and is not a directory")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        store = DescriptorStore(tmp, self.n_songs)
         # slice the save copy out of the padded corpus: keeping the
         # unpadded originals around would pin device-resident leaves
         # (e.g. Serra09 ssms) in HBM twice for the index's lifetime;
@@ -142,13 +158,20 @@ class CoverIndex:
         for k, v in self._corpus.items():
             store.write(k, 0, np.asarray(v)[:self.n_songs])
         store.flush()
-        with open(os.path.join(path, self.META), "w") as f:
+        with open(os.path.join(tmp, self.META), "w") as f:
             json.dump({"algorithm": type(self.algorithm).__name__,
                        "name": self.algorithm.NAME,
                        "params": _algo_params(self.algorithm),
                        "tile": self.tile,
                        "n_songs": self.n_songs,
                        "ids": self.ids}, f)
+        if os.path.isdir(path):
+            old = f"{path}.old-{os.getpid()}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
 
     @classmethod
     def load(cls, algorithm, path: str) -> "CoverIndex":
@@ -167,6 +190,19 @@ class CoverIndex:
             now = _algo_params(algorithm)
             diff = {k for k in set(saved) | set(now)
                     if saved.get(k) != now.get(k)}
+            # scoring-only knobs (SNF precision / update order, ...)
+            # don't change the pinned descriptors — warn, don't refuse
+            scoring_only = diff & set(
+                getattr(algorithm, "SCORING_ONLY_PARAMS", ()))
+            diff -= scoring_only
+            if scoring_only:
+                warnings.warn(
+                    f"index at {path}: scoring-only parameter drift "
+                    f"(queries score with the CURRENT values): "
+                    + ", ".join(f"{k}: index={saved.get(k)!r} "
+                                f"vs query={now.get(k)!r}"
+                                for k in sorted(scoring_only)),
+                    stacklevel=2)
             if diff:
                 raise ValueError(
                     f"index at {path} was built with different "

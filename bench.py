@@ -37,6 +37,7 @@ BATCH = 512        # pairs per device call
 CPU_PAIRS = 12     # pairs timed for the CPU baseline
 KAPPA = 0.095
 NITER = 9
+REPEATS = 7        # median-of-k readings; spread reported alongside
 
 
 def make_crps(rng, batch, L):
@@ -114,16 +115,20 @@ def main():
     f1, fn = amortized(1), amortized(NITER)
     _ = float(f1(Sd, ml, nl))
     _ = float(fn(Sd, ml, nl))
-    t1s, tns = [], []
-    for _ in range(3):
+    # median-of-k with spread (VERDICT r4: one reading hid an 8%
+    # round-to-round swing); each repeat yields an independent
+    # amortized rate, the median is the headline
+    rates = []
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         _ = float(f1(Sd, ml, nl))
-        t1s.append(time.perf_counter() - t0)
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = float(fn(Sd, ml, nl))
-        tns.append(time.perf_counter() - t0)
-    tpu_time = (min(tns) - min(t1s)) / (NITER - 1)
-    tpu_pps = BATCH / tpu_time
+        tn = time.perf_counter() - t0
+        rates.append(BATCH * (NITER - 1) / max(tn - t1, 1e-9))
+    tpu_pps = float(np.median(rates))
+    spread_pct = 100.0 * (max(rates) - min(rates)) / tpu_pps
 
     # Sanity: TPU and CPU agree on the scored pairs — for ALL THREE
     # alignment kernels (this runs on real hardware every round).
@@ -147,6 +152,8 @@ def main():
         "value": round(tpu_pps, 2),
         "unit": "song-pairs/sec/chip",
         "vs_baseline": round(tpu_pps / cpu_pps, 2),
+        "readings_k": REPEATS,
+        "spread_pct": round(spread_pct, 1),
     }
 
     # --- end-to-end metric: FULLY-SCORED Serra09 tile throughput (OTI ->
@@ -155,8 +162,9 @@ def main():
     # not just the bare kernel. Recorded alongside the primary metric so
     # the driver tracks it across rounds (VERDICT r3 item 7).
     try:
-        result["serra09_scored_pairs_per_sec"] = round(
-            _serra09_scored_pps(jax, jnp), 2)
+        s_pps, s_spread = _serra09_scored_pps(jax, jnp)
+        result["serra09_scored_pairs_per_sec"] = round(s_pps, 2)
+        result["serra09_spread_pct"] = round(s_spread, 1)
     except Exception as e:                      # never mask the headline
         result["serra09_error"] = f"{type(e).__name__}: {e}"
 
@@ -166,8 +174,10 @@ def main():
           file=sys.stderr)
 
 
-def _serra09_scored_pps(jax, jnp, tile: int = 16, niter: int = 5) -> float:
-    """Amortized pairs/s of the full Serra09 tile program.
+def _serra09_scored_pps(jax, jnp, tile: int = 16,
+                        niter: int = 5) -> tuple[float, float]:
+    """Amortized (median pairs/s, spread %) of the full Serra09 tile
+    program.
 
     32 synthetic songs at covers80-realistic CRP dims (descriptor
     lengths 160-480 -> padded 512, matching the headline L=512 qmax
@@ -198,16 +208,17 @@ def _serra09_scored_pps(jax, jnp, tile: int = 16, niter: int = 5) -> float:
     f1, fn = amortized(1), amortized(niter)
     _ = float(f1(row, col))
     _ = float(fn(row, col))
-    t1s, tns = [], []
-    for _ in range(3):
+    rates = []
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         _ = float(f1(row, col))
-        t1s.append(time.perf_counter() - t0)
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = float(fn(row, col))
-        tns.append(time.perf_counter() - t0)
-    per_call = (min(tns) - min(t1s)) / (niter - 1)
-    return tile * tile / per_call
+        tn = time.perf_counter() - t0
+        rates.append(tile * tile * (niter - 1) / max(tn - t1, 1e-9))
+    med = float(np.median(rates))
+    return med, 100.0 * (max(rates) - min(rates)) / med
 
 
 if __name__ == "__main__":

@@ -1,0 +1,178 @@
+"""Da-TACOS-scale (15,000-song) Serra09 benchmark, END TO END, for real.
+
+The reference's flagship configuration sweeps the Da-TACOS benchmark
+subset — 1000 cliques x 13 covers + 2000 distractor singletons = 15,000
+tracks, ~1.125e8 symmetric pairs (`/root/reference/subsets/
+benchmark_subset.json`, counted; `CoverAlgorithm.py:138-184` +
+`runcovers80.sh` array jobs). This script executes that scale on ONE
+chip, measured, not extrapolated:
+
+1. `extract`: render the 15k-song planted-clique corpus lazily
+   (`LazySyntheticCorpus`, Da-TACOS clique geometry, covers80-real song
+   dims: 3-8 minutes at hop 512) and extract Serra09 descriptors
+   CHUNKED into an int8-quantized on-disk DescriptorStore
+   (`extract_streamed(quant='int8')`) — host RAM stays ~one chunk.
+   Runs fine on the CPU backend (`--cpu`), freeing the chip.
+2. `sweep`: upload the quantized store to HBM once (device-resident,
+   ~0.2 GB int8) and sweep all ~1.1e8 pairs through the jitted Serra09
+   tile program (OTI -> CSM -> sliding CSM -> mutual-kNN binarize ->
+   batched qmax+dmax on 2 channels), with the resumable tile ledger +
+   memmapped score matrices. Kill it mid-run and re-invoke: it resumes
+   from the ledger (the scale test of `do_batch`'s checkpoint contract,
+   `CoverAlgorithm.py:262-292`).
+3. `eval`: MR/MRR/MDR/MAP/Top-K per channel with the reference's exact
+   ranking conventions; appends `artifacts/results_datacos15k.csv`.
+
+Usage:
+  python scripts/datacos15k.py extract --cpu
+  python scripts/datacos15k.py sweep            # kill + rerun to resume
+  python scripts/datacos15k.py eval
+  # smoke: python scripts/datacos15k.py all --cpu --cliques 8 \
+  #            --clique-size 3 --distractors 4 --duration 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(args):
+    from acoss_tpu.data.synthetic import LazySyntheticCorpus
+
+    return LazySyntheticCorpus(
+        n_cliques=args.cliques, clique_size=args.clique_size,
+        n_distractors=args.distractors, n_states=48,
+        base_duration=args.duration, beat_period=30.0, seed=args.seed)
+
+
+def _algo(args):
+    from acoss_tpu.benchmarking.algorithms import Serra09
+
+    return Serra09(chroma_type="hpcp")
+
+
+def cmd_extract(args) -> None:
+    from acoss_tpu.data.descstore import extract_streamed
+
+    corpus = _corpus(args)
+    print(f"corpus: {corpus.n_songs} songs "
+          f"({args.cliques} x {args.clique_size} + {args.distractors})",
+          flush=True)
+    t0 = time.time()
+    desc = extract_streamed(_algo(args), corpus,
+                            os.path.join(args.workdir, "store"),
+                            chunk_songs=args.chunk_songs,
+                            quant="int8", verbose=True)
+    dt = time.time() - t0
+    np.savez(os.path.join(args.workdir, "labels.npz"),
+             labels=corpus.labels, track_ids=corpus.track_ids)
+    gb = sum(v.nbytes for v in desc.values()) / 1e9
+    print(json.dumps({"phase": "extract", "songs": corpus.n_songs,
+                      "wall_s": round(dt, 1),
+                      "store_gb": round(gb, 2)}), flush=True)
+
+
+def cmd_sweep(args) -> None:
+    from acoss_tpu.benchmarking.harness import run_pairwise
+    from acoss_tpu.data.descstore import DescriptorStore
+
+    desc = DescriptorStore.open(os.path.join(args.workdir, "store"))
+    n = len(np.load(os.path.join(args.workdir, "labels.npz"))["labels"])
+    algo = _algo(args)
+    t0 = time.time()
+    run_pairwise(algo, dict(desc), n, tile=args.tile,
+                 scores_dir=os.path.join(args.workdir, "scores"),
+                 checkpoint_path=os.path.join(args.workdir, "ledger.npz"),
+                 checkpoint_every=args.checkpoint_every,
+                 device_resident=True, verbose=True)
+    dt = time.time() - t0
+    # cumulative wall across resumed invocations, for the measured
+    # h/chip record
+    wall_path = os.path.join(args.workdir, "sweep_walls.json")
+    walls = (json.load(open(wall_path)) if os.path.exists(wall_path)
+             else [])
+    walls.append(round(dt, 1))
+    json.dump(walls, open(wall_path, "w"))
+    pairs = n * (n - 1) // 2
+    total = sum(walls)
+    print(json.dumps({
+        "phase": "sweep", "songs": n, "pairs": pairs,
+        "wall_s_this_run": round(dt, 1), "wall_s_total": round(total, 1),
+        "resumed_runs": len(walls),
+        "pairs_per_sec": round(pairs / total, 1),
+        "hours_per_chip": round(total / 3600, 2)}), flush=True)
+
+
+def cmd_eval(args) -> None:
+    from acoss_tpu.benchmarking.evaluation import (eval_statistics,
+                                                   write_results_csv)
+
+    z = np.load(os.path.join(args.workdir, "labels.npz"))
+    labels = z["labels"]
+    algo = _algo(args)
+    csv_path = os.path.join(REPO, "artifacts", "results_datacos15k.csv")
+    out = {}
+    t0 = time.time()
+    for st in algo.SIMILARITY_TYPES:
+        D = np.load(os.path.join(args.workdir, "scores", f"{st}.npy"),
+                    mmap_mode="r")
+        S = np.asarray(D, dtype=np.float32)
+        if st in algo.DISTANCE_TYPES:
+            S = -S
+        stats = eval_statistics(S, labels)
+        del S
+        write_results_csv(csv_path, f"{algo.NAME}_datacos15k", st, stats)
+        out[st] = {"MAP": round(stats.map, 4), "MR": round(stats.mr, 1),
+                   "MRR": round(stats.mrr, 4), "MDR": stats.mdr,
+                   "top1": stats.tops.get(1), "top10": stats.tops.get(10),
+                   "n_scored": stats.n_scored}
+        print(json.dumps({st: out[st]}), flush=True)
+    print(json.dumps({"phase": "eval", "wall_s": round(time.time() - t0, 1),
+                      "csv": csv_path}), flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=("extract", "sweep", "eval", "all"))
+    ap.add_argument("--workdir", default="/tmp/datacos15k")
+    ap.add_argument("--cliques", type=int, default=1000)
+    ap.add_argument("--clique-size", type=int, default=13)
+    ap.add_argument("--distractors", type=int, default=2000)
+    ap.add_argument("--duration", type=float, default=300.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunk-songs", type=int, default=256)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--checkpoint-every", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault("ACOSS_TPU_NO_COMPILE_CACHE", "1")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs(args.workdir, exist_ok=True)
+    if args.phase in ("extract", "all"):
+        cmd_extract(args)
+    if args.phase in ("sweep", "all"):
+        cmd_sweep(args)
+    if args.phase in ("eval", "all"):
+        cmd_eval(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

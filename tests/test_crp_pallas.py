@@ -300,3 +300,44 @@ def test_early_snf_tile_scores_pallas_matches_xla():
     for k in out_x:
         np.testing.assert_allclose(np.asarray(out_p[k]),
                                    np.asarray(out_x[k]), atol=1e-5)
+
+
+def test_knn_mask_row_slab_sizing_and_padding(rng):
+    """`_row_block` must keep the slab's estimated kernel-stack VMEM
+    under budget for ANY n (the r4e hardware queue OOMed scoped vmem
+    at n=896/1024 with the old 16 B/elem estimate), padding rows to a
+    power-of-two slab when n's divisors are coarse — and the padded
+    path must stay bit-identical to the selection semantics."""
+    from acoss_tpu.ops import fusion
+    from acoss_tpu.ops.crp_pallas import (_STACK_BYTES_PER_ELEM,
+                                          _row_block,
+                                          knn_mask_matrix_batch)
+
+    for n in (96, 448, 512, 896, 1024, 897, 1000, 13, 3 * 512):
+        rb, n_pad = _row_block(n)
+        assert n_pad % rb == 0 and n_pad >= n and n_pad - n < rb
+        # the measured-constant budget: slab stack under the 16M
+        # scoped limit with headroom (allow the rb==8 floor through)
+        assert rb == 8 or rb * n * _STACK_BYTES_PER_ELEM <= 12 << 20
+    # exact failing shapes from the r4e queue must now size sanely
+    for n in (896, 1024):
+        rb, n_pad = _row_block(n)
+        assert rb * n * _STACK_BYTES_PER_ELEM <= 12 << 20
+
+    # correctness through a genuinely padded width: n=897 -> rb=64,
+    # n_pad=960 under the default budget (n_pad != n exercises the
+    # pad + slice path)
+    n = 897
+    rb, n_pad = _row_block(n)
+    assert n_pad != n
+    W = rng.random((2, n, n)).astype(np.float32)
+    W[rng.random((2, n, n)) < 0.2] = 0.25
+    k = np.array([7, n], np.int32)
+    V = np.asarray(knn_mask_matrix_batch(W, k, largest=True,
+                                         interpret=True))
+    assert V.shape == W.shape
+    for f in range(2):
+        thresh = -np.asarray(fusion._kth_smallest(
+            jnp.asarray(-W[f]), int(k[f]), int(k[f])))
+        np.testing.assert_array_equal(
+            V[f], np.where(W[f] >= thresh, W[f], 0.0))

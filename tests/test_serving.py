@@ -164,22 +164,59 @@ def test_load_rejects_parameter_drift(tmp_path, corpus_and_queries):
     CoverIndex.load(_algo(), str(tmp_path / "idx"))
 
 
-def test_save_clears_stale_store_debris(tmp_path, corpus_and_queries):
-    """An interrupted earlier save leaves .npy memmaps with old
-    dtypes/widths; save() must not reopen them r+ (silent casts) or fold
-    orphan keys into META."""
+def test_save_replaces_prior_index_atomically(tmp_path,
+                                              corpus_and_queries):
+    """Re-saving over a PRIOR INDEX must replace it wholesale (stale
+    .npy memmaps with old dtypes/widths or orphan keys must not leak
+    into the new store), via the temp-dir + swap so `path` never holds
+    a half-written mix."""
     _, cfs, qfs, _, _ = corpus_and_queries
     path = tmp_path / "idx"
-    path.mkdir()
-    # stale debris: an int8 leaf under a REAL key name + an orphan key
-    np.save(path / "chroma.npy",
-            np.zeros((cfs.n_songs, 3), np.int8))
-    np.save(path / "orphan.npy", np.zeros((cfs.n_songs, 2), np.float32))
     index = CoverIndex.build(_algo(), cfs, tile=4)
     ref = index.query(qfs)
     index.save(str(path))
+    # corrupt the saved index the way an older differently-configured
+    # save would have left it: wrong-dtype leaf + an orphan key
+    np.save(path / "chroma.npy",
+            np.zeros((cfs.n_songs, 3), np.int8))
+    np.save(path / "orphan.npy", np.zeros((cfs.n_songs, 2), np.float32))
+    index.save(str(path))
+    assert not list(tmp_path.glob("idx.tmp-*"))
+    assert not list(tmp_path.glob("idx.old-*"))
     loaded = CoverIndex.load(_algo(), str(path))
     assert "orphan" not in loaded._corpus
     got = loaded.query(qfs)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], atol=1e-5, err_msg=k)
+
+
+def test_save_refuses_foreign_npy_directory(tmp_path,
+                                            corpus_and_queries):
+    """A directory holding .npy data WITHOUT an index meta is someone
+    else's data — save() must refuse rather than delete it."""
+    _, cfs, _, _, _ = corpus_and_queries
+    path = tmp_path / "notanindex"
+    path.mkdir()
+    np.save(path / "precious.npy", np.arange(5))
+    index = CoverIndex.build(_algo(), cfs, tile=4)
+    with pytest.raises(ValueError, match="not a CoverIndex"):
+        index.save(str(path))
+    assert np.array_equal(np.load(path / "precious.npy"), np.arange(5))
+
+
+def test_load_warns_not_refuses_on_scoring_only_drift(
+        tmp_path, corpus_and_queries):
+    """Scoring-only knobs (SCORING_ONLY_PARAMS) don't change the pinned
+    descriptors; load warns and proceeds instead of refusing."""
+    from acoss_tpu.benchmarking.algorithms import EarlySNF
+
+    _, cfs, _, _, _ = corpus_and_queries
+    algo = EarlySNF(chroma_type="hpcp", downsample_fac=4,
+                    pad_to_multiple=8, do_ssms=False)
+    index = CoverIndex.build(algo, cfs, tile=4)
+    index.save(str(tmp_path / "idx"))
+    drifted = EarlySNF(chroma_type="hpcp", downsample_fac=4,
+                       pad_to_multiple=8, do_ssms=False,
+                       snf_precision="default")
+    with pytest.warns(UserWarning, match="snf_precision"):
+        CoverIndex.load(drifted, str(tmp_path / "idx"))
