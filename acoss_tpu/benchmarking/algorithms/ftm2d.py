@@ -92,6 +92,15 @@ class FTM2D(CoverAlgorithm):
         if onsets.size <= self.WIN:   # "Not enough beats" (`FTM2D.py:88`)
             return out
         bt = sync_agg(chroma, onsets, "median").T      # (12, n_seg)
+        return self.shingle_from_bt(bt)
+
+    def shingle_from_bt(self, bt: np.ndarray) -> np.ndarray:
+        """Shingle from an already beat-synced (12, n_beats) chroma —
+        the shared-input entry point of the cross-implementation parity
+        harness (`benchmarking.crossimpl.ref_ftm2d_shingle` feeds the
+        reference's chrompwr/btchroma_to_fftmat the same matrix)."""
+        dim = 12 * (self.PAD_LEN if self.mode == "zeropad" else self.WIN)
+        out = np.zeros(dim, dtype=np.float32)
         bt = chrompwr_np(bt, self.PWR, axis=0)
         if self.mode == "zeropad":
             return self._shingle_zeropad(bt)

@@ -50,7 +50,7 @@ def load_reference():
     module scope but the functions used here (`get_W*`, `snf_ws`, `snf`)
     never call librosa, so a stub module satisfies the import; matplotlib
     is forced to the Agg backend."""
-    if _REF_MODULES:
+    if "CRPUtils" in _REF_MODULES:
         return _REF_MODULES["CRPUtils"], _REF_MODULES["SimilarityFusion"]
     if not reference_available():
         raise RuntimeError(f"reference mount not found at {REF_DIR}")
@@ -427,6 +427,8 @@ _SONG_FNS = {
     "EarlySNF": lambda desc, i, kw: serra_song(desc, i, kw["m"], True),
     "ChenFusion": lambda desc, i, kw: chen_song(desc, i),
     "TGAlg": lambda desc, i, kw: tempogram_song(desc, i),
+    "Simple": lambda desc, i, kw: simple_song(desc, i),
+    "EarlyFusion": lambda desc, i, kw: earlyfusion_song(desc, i),
 }
 
 _PAIR_FNS = {
@@ -440,22 +442,34 @@ _PAIR_FNS = {
         Si, Sj, kw["kappa"], kw.get("tie_inclusive", False)),
     "TGAlg": lambda Si, Sj, kw: ref_tempogram_pair(
         Si, Sj, kw["kappa"], kw.get("tie_inclusive", False)),
+    "Simple": lambda Si, Sj, kw: ref_simple_pair(
+        Si, Sj, kw.get("sslen", 10)),
+    "EarlyFusion": lambda Si, Sj, kw: ref_earlyfusion_pair(
+        Si, Sj, kw["kappa"], kw["K"], kw.get("tie_inclusive", False)),
 }
+
+# algorithms whose reference driver sweeps permutations, not
+# combinations (`Simple.py:149` symmetric=False)
+_ASYMMETRIC = {"Simple"}
 
 
 def reference_scores(name: str, desc: dict, n_songs: int,
                      verbose: bool = False, **kw) -> dict:
     """Reference-scored full matrices: strict lower triangle (i > j, song
-    i first) + symmetrize, exactly the orientation `run_pairwise`
-    produces. Per-song feature views are materialized ONCE (pulling a
+    i first) + symmetrize — exactly the orientation `run_pairwise`
+    produces — or the full permutation sweep for asymmetric algorithms.
+    Per-song feature views are materialized ONCE (pulling a
     device-resident ssms corpus to the host once per song, not once per
     pair — this link moves D2H at 2-23 MB/s)."""
     pair_fn = _PAIR_FNS[name]
     song_fn = _SONG_FNS[name]
+    symmetric = name not in _ASYMMETRIC
     feats = [song_fn(desc, i, kw) for i in range(n_songs)]
     Ds: dict = {}
     for i in range(n_songs):
-        for j in range(i):
+        for j in (range(i) if symmetric else range(n_songs)):
+            if j == i:
+                continue
             s = pair_fn(feats[i], feats[j], kw)
             for k, v in s.items():
                 if k not in Ds:
@@ -463,7 +477,7 @@ def reference_scores(name: str, desc: dict, n_songs: int,
                 Ds[k][i, j] = v
         if verbose and (i + 1) % 8 == 0:
             print(f"[crossimpl:{name}] reference rows {i + 1}/{n_songs}")
-    return {k: D + D.T for k, D in Ds.items()}
+    return {k: (D + D.T if symmetric else D) for k, D in Ds.items()}
 
 
 def ref_chenfusion_post(Ds: dict, desc: dict, late_K: int = 20,
@@ -517,3 +531,230 @@ def compare_channels(ref: dict, tpu: dict, labels: np.ndarray,
             "dmap": float(map_tpu - map_ref),
         })
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Reference driver-module loader (FTM2D's chrompwr/btchroma_to_fftmat,
+# Simple's simple_sim/oti) — imported from the mount with stub deps
+# ---------------------------------------------------------------------------
+
+def load_reference_module(name: str):
+    """Import a reference algorithm driver module (`FTM2D`, `Simple`)
+    from the mount. Their module scopes touch CoverAlgorithm (which
+    imports deepdish), librosa and pySeqAlign — none of which the
+    functions used here ever call — so stub modules are pre-seeded in
+    sys.modules (a stub in sys.modules wins over the mount's real
+    CoverAlgorithm.py on the import path)."""
+    if name in _REF_MODULES:
+        return _REF_MODULES[name]
+    if not reference_available():
+        raise RuntimeError(f"reference mount not found at {REF_DIR}")
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    stubs = {}
+    if "CoverAlgorithm" not in sys.modules:
+        m = types.ModuleType("CoverAlgorithm")
+
+        class CoverAlgorithm:  # noqa: N801 - reference spelling
+            pass
+
+        m.CoverAlgorithm = CoverAlgorithm
+        stubs["CoverAlgorithm"] = m
+    if "librosa" not in sys.modules:
+        try:
+            import librosa  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("librosa")
+            m.util = types.ModuleType("librosa.util")
+            m.filters = types.ModuleType("librosa.filters")
+            m.feature = types.ModuleType("librosa.feature")
+            stubs["librosa"] = m
+    else:
+        # `load_reference()` may have left a BARE librosa stub (no
+        # util/filters); `Simple.py`'s `from librosa import util,
+        # filters` needs the attributes — augment in place
+        m = sys.modules["librosa"]
+        if m.__spec__ is None or not hasattr(m, "__file__"):
+            for attr in ("util", "filters", "feature"):
+                if not hasattr(m, attr):
+                    setattr(m, attr,
+                            types.ModuleType(f"librosa.{attr}"))
+    if "pySeqAlign" not in sys.modules:
+        m = types.ModuleType("pySeqAlign")
+        m.qmax = m.dmax = m.swconstrained = None   # never called
+        stubs["pySeqAlign"] = m
+    sys.modules.update(stubs)
+    sys.path.insert(0, REF_DIR)
+    try:
+        mod = __import__(name)
+    finally:
+        sys.path.remove(REF_DIR)
+        for k in stubs:
+            sys.modules.pop(k, None)
+        sys.modules.pop(name, None)   # keep our own namespace clean
+    _REF_MODULES[name] = mod
+    return mod
+
+
+def reference_sw_aligner():
+    """`swalignimpconstrained` with the `EarlySNF_Old.py:200` calling
+    convention: D sized (M+1) * (N+1), unlike qmax/dmax's M * N."""
+    compile_reference_aligners()   # populates _REF_LIB
+    lib = _REF_LIB
+
+    def call(csm):
+        M, N = csm.shape
+        S = np.ascontiguousarray(csm, dtype=np.uint8).ravel()
+        D = np.zeros((M + 1) * (N + 1), dtype=np.float32)
+        return float(lib.swalignimpconstrained(
+            S.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            D.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), M, N))
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# FTM2D (+ ablation variants): reference shingle math on shared
+# beat-synced chroma
+# ---------------------------------------------------------------------------
+
+def ref_ftm2d_shingle(bt: np.ndarray, PWR: float = 1.96, WIN: int = 75,
+                      C: float = 5.0, do_log: bool = True,
+                      do_norm: bool = True, mode: str = "median",
+                      PAD_LEN: int = 2000) -> np.ndarray:
+    """The reference's per-song FTM2D shingle from a beat-synced (12, n)
+    chroma, using the IMPORTED `chrompwr`/`btchroma_to_fftmat`
+    (`FTM2D.py:9-48`) plus the ~10-line per-variant glue re-typed
+    verbatim: median (`FTM2D.py:90-98`), noLog (`FTM2D_noLog.py:
+    115-120`), noNorm (`FTM2D_noNorm.py:116-121`), noNormNoLog
+    (`FTM2D_noNormNoLog.py:115-119`), zeropad (`FTM2D_zeroPad.py:
+    99-108`) and zeropad+log (`FTM2D_zeroPadLog.py:108`).
+
+    Shared input is the beat-synced median chroma (librosa.util.sync's
+    output): librosa is absent from this image, so the sync itself is
+    covered by the features-layer call-parameter audit (PARITY.md),
+    while everything downstream — the part `FTM2D.py` itself defines —
+    is compared here measured."""
+    import scipy.fftpack
+
+    F = load_reference_module("FTM2D")
+    chroma = F.chrompwr(np.asarray(bt, np.float64), PWR)
+    if mode == "zeropad":
+        pad = np.zeros((12, PAD_LEN))
+        if chroma.shape[1] > PAD_LEN:
+            chroma = chroma[:, 0:PAD_LEN]
+        pad[:, 0:chroma.shape[1]] = chroma
+        flat = np.abs(scipy.fftpack.fft2(pad)).flatten()
+        shingle = flat / (np.sqrt(np.sum(flat ** 2)))
+        if do_log:
+            shingle = np.log(flat / (np.sqrt(np.sum(flat ** 2))) + 1)
+        return shingle
+    shingles = F.btchroma_to_fftmat(chroma, WIN)
+    if shingles is None:   # < WIN beats -> zero shingle (`FTM2D.py:88`)
+        return np.zeros(12 * WIN)
+    shingles = shingles.T
+    if do_norm:
+        Norm = np.sqrt(np.sum(shingles ** 2, 1))
+        Norm[Norm == 0] = 1
+        if do_log:
+            shingles = np.log(C * shingles / Norm[:, None] + 1)
+        else:
+            shingles = C * shingles / Norm[:, None]
+    elif do_log:
+        shingles = np.log(C * shingles + 1)
+    shingle = np.median(shingles, 0)
+    shingle = shingle / np.sqrt(np.sum(shingle ** 2))
+    return shingle
+
+
+def ref_ftm2d_scores(shingles: np.ndarray) -> np.ndarray:
+    """`FTM2D.similarity`'s exp(-dSqr) per-pair loop
+    (`FTM2D.py:119-130`), fp64."""
+    n = shingles.shape[0]
+    D = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i):
+            D[i, j] = np.exp(-np.sum((shingles[i] - shingles[j]) ** 2))
+    return D + D.T
+
+
+# ---------------------------------------------------------------------------
+# Simple (SiMPle matrix profile): reference scoring on shared descriptors
+# ---------------------------------------------------------------------------
+
+def simple_song(desc: dict, i: int) -> np.ndarray:
+    """One song's Simple descriptor in the reference layout: (12, L)
+    column-per-frame fp64 (`Simple.py:30-39` returns (d, n))."""
+    n = int(desc["length"][i])
+    return np.asarray(desc["feat"][i, :n], np.float64).T
+
+
+def ref_simple_pair(Si: np.ndarray, Sj: np.ndarray,
+                    sslen: int = 10) -> dict:
+    """`Simple.similarity`'s per-pair body (`Simple.py:120-126`) running
+    the IMPORTED `Simple.oti` + `Simple.simple_sim` (`Simple.py:41-117`)
+    on an __init__-bypassed instance (the ctor needs the h5 datapath
+    machinery; the two methods only read self.SSLEN)."""
+    mod = load_reference_module("Simple")
+    obj = object.__new__(mod.Simple)
+    obj.SSLEN = sslen
+    Sj_rolled, _ = mod.Simple.oti(obj, Si, Sj)
+    return {"main": -mod.Simple.simple_sim(obj, Si, Sj_rolled)}
+
+
+# ---------------------------------------------------------------------------
+# EarlyFusion (EarlySNF_Old): reference scoring on shared descriptors
+# ---------------------------------------------------------------------------
+
+def earlyfusion_song(desc: dict, i: int) -> dict:
+    n = int(desc["length"][i])
+    return {
+        "mfccs": np.asarray(desc["mfccs"][i, :n], np.float64),
+        "ssms": np.asarray(desc["ssms"][i, :n], np.float64),
+        "chromas": np.asarray(desc["chromas"][i, :n], np.float64),
+        "chroma_med": np.asarray(desc["chroma_med"][i], np.float64),
+    }
+
+
+def ref_earlyfusion_pair(Si: dict, Sj: dict, kappa: float, K: int,
+                         tie_inclusive: bool = False) -> dict:
+    """`EarlySNF_Old.similarity`'s per-pair body
+    (`EarlySNF_Old.py:188-233`) over imported CRPUtils +
+    SimilarityFusion + the compiled `swalignimpconstrained`. The
+    source's `getWCSM(CSM, self.K, self.K)` is the pre-rename spelling
+    of `SimilarityFusion.get_WCSM` (same positional signature) — the
+    bit-rotted name resolved the same way `acoss_tpu`'s EarlyFusion
+    resolves it (SURVEY.md §2.5 latent defects)."""
+    C, SF = load_reference()
+    sw = reference_sw_aligner()
+    bin_, _ = _binarizers(tie_inclusive)
+    CSMs = {}
+    CSMs["mfccs"] = C.get_csm(Si["mfccs"], Sj["mfccs"])
+    CSMs["ssms"] = C.get_csm(Si["ssms"], Sj["ssms"])
+    CSMs["chromas"] = C.get_csm_blocked_oti(
+        Si["chromas"], Sj["chromas"], Si["chroma_med"], Sj["chroma_med"],
+        C.get_csm_cosine)
+    scores = {s: sw(bin_(CSMs[s], kappa)) for s in CSMs}
+    WCSM_sum = np.zeros_like(CSMs["mfccs"])
+    for s in ("mfccs", "ssms", "chromas"):   # the source's dict order
+        WCSM_sum += SF.get_WCSM(CSMs[s], K, K)
+    WCSM_sum = np.exp(-WCSM_sum)
+    scores["early"] = sw(bin_(WCSM_sum, kappa))
+    return scores
+
+
+def ref_earlyfusion_post(Ds: dict, late_K: int = 20,
+                         late_niters: int = 20) -> dict:
+    """`EarlySNF_Old.do_late_fusion` (`EarlySNF_Old.py:235-241`) over
+    the imported reference SNF (`doSimilarityFusion` == the pre-rename
+    `SimilarityFusion.snf`)."""
+    _, SF = load_reference()
+    out = dict(Ds)
+    out["late"] = SF.snf(
+        [1.0 / (1.0 + np.asarray(Ds[s], np.float64))
+         for s in ("chromas", "ssms", "mfccs")],
+        K=late_K, niters=late_niters, reg_diag=1, verbose_times=False)[1]
+    out["early+late"] = SF.snf(
+        [1.0 / (1.0 + np.asarray(Ds[s], np.float64))
+         for s in ("chromas", "ssms", "mfccs", "early")],
+        K=late_K, niters=late_niters, reg_diag=1, verbose_times=False)[1]
+    return out

@@ -54,8 +54,9 @@ def _norm_rows(x):
     return x / jnp.where(n == 0, 1.0, n)
 
 
-def _fused_kernel(m, kappa, metric, mutual, L,
-                  x_ref, y_ref, l1_ref, l2_ref, s_ref, bits_ref):
+def _fused_kernel(m, kappa, metric, mutual, dual, L,
+                  x_ref, y_ref, l1_ref, l2_ref, s_ref, bits_ref,
+                  bitsT_ref=None):
     PB = x_ref.shape[0]
     g = pl.program_id(0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -95,21 +96,36 @@ def _fused_kernel(m, kappa, metric, mutual, L,
         for k in range(1, m):
             acc = acc + pltpu.roll(pltpu.roll(csm, L - k, 0), L - k, 1)
         valid = (ii < l1e) & (jj < l2e)
-        bits_ref[p] = jnp.where(valid, acc.view(jnp.int32), _INF_BITS)
+        bv = jnp.where(valid, acc.view(jnp.int32), _INF_BITS)
+        bits_ref[p] = bv
+        if dual:
+            # transposed copy: BOTH per-iteration counts then reduce
+            # along the cheap sublane axis (axis=0) — row counts come
+            # from bitsT columns; one transpose amortized over 31
+            # passes
+            bitsT_ref[p] = bv.T
         ks_r.append(jnp.maximum(
             jnp.round(kappa * l2e.astype(jnp.float32)), 1.0))
         ks_c.append(jnp.maximum(
             jnp.round(kappa * l1e.astype(jnp.float32)), 1.0))
 
     bits = [bits_ref[p] for p in range(PB)]
+    bitsT = [bitsT_ref[p] for p in range(PB)] if dual else None
+    # row-count reduction source/axis: baseline sums bits along lanes
+    # (axis=1, (L, 1) carries); dual sums the transposed copy along
+    # sublanes (axis=0, (1, L) carries) — identical counts, cheaper
+    # reduction direction
+    r_shape = (1, L) if dual else (L, 1)
+    r_axis = 0 if dual else 1
 
     def search(it, carry):
         out = []
         for p in range(PB):
             lo_r, hi_r, lo_c, hi_c = carry[p]
             mid_r = lo_r + jax.lax.div(hi_r - lo_r, 2)
-            cnt_r = jnp.sum((bits[p] <= mid_r).astype(jnp.float32),
-                            axis=1, keepdims=True)
+            src = bitsT[p] if dual else bits[p]
+            cnt_r = jnp.sum((src <= mid_r).astype(jnp.float32),
+                            axis=r_axis, keepdims=True)
             ge_r = cnt_r >= ks_r[p]
             nlo_r = jnp.where(ge_r, lo_r, mid_r + 1)
             nhi_r = jnp.where(ge_r, mid_r, hi_r)
@@ -123,14 +139,17 @@ def _fused_kernel(m, kappa, metric, mutual, L,
             out.append((nlo_r, nhi_r, lo_c, hi_c))
         return tuple(out)
 
-    zr = jnp.zeros((L, 1), jnp.int32)
-    fr = jnp.full((L, 1), _MAX_FINITE_BITS, jnp.int32)
+    zr = jnp.zeros(r_shape, jnp.int32)
+    fr = jnp.full(r_shape, _MAX_FINITE_BITS, jnp.int32)
     zc = jnp.zeros((1, L), jnp.int32)
     fc = jnp.full((1, L), _MAX_FINITE_BITS, jnp.int32)
     init = tuple((zr, fr, zc, fc) for _ in range(PB))
     res = jax.lax.fori_loop(0, 31, search, init)
     for p in range(PB):
         _, t_r, _, t_c = res[p]
+        if dual:
+            # (1, L) lane-vector of per-row thresholds -> (L, 1)
+            t_r = t_r.reshape(L, 1)
         S = bits[p] <= t_r
         if mutual:
             S = S & (bits[p] <= t_c)
@@ -139,11 +158,13 @@ def _fused_kernel(m, kappa, metric, mutual, L,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kappa", "m", "metric", "mutual", "interpret"))
+    static_argnames=("kappa", "m", "metric", "mutual", "interpret",
+                     "dual"))
 def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
                            metric: str = "sqeuclidean",
                            mutual: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           dual: bool = False):
     """Batched binary CRPs: per pair b, the kNN binarization of
     sliding_csm(csm(X[b], Y[b]), m) with per-row k = round(kappa *
     valid_cols) (and per-col k = round(kappa * valid_rows) when
@@ -189,8 +210,12 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
         l1 = jnp.pad(l1, (0, Bp - B))
         l2 = jnp.pad(l2, (0, Bp - B))
 
+    scratch = [pltpu.VMEM((_PB, L, L), jnp.int32)]
+    if dual:
+        scratch.append(pltpu.VMEM((_PB, L, L), jnp.int32))
     S = pl.pallas_call(
-        functools.partial(_fused_kernel, m, kappa, metric, mutual, L),
+        functools.partial(_fused_kernel, m, kappa, metric, mutual, dual,
+                          L),
         grid=(Bp // _PB,),
         in_specs=[
             pl.BlockSpec((_PB, L, d), lambda b: (b, 0, 0),
@@ -205,7 +230,7 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
         out_specs=pl.BlockSpec((_PB, L, L), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, L, L), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((_PB, L, L), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(X, Y, l1, l2)
     l1e = jnp.maximum(l1[:B] - m + 1, 0)

@@ -49,7 +49,26 @@ SR = 44100
 
 def make_placeholder(covers32k: str, seed: int = 0,
                      n_cliques: int = 80) -> None:
-    """Synthesize a covers80-layout placeholder corpus (WAV)."""
+    """Synthesize a covers80-layout placeholder corpus (WAV).
+
+    v2 (round 5): the v1 corpus only planted a shared chord sequence in
+    ~18 s songs, so every channel except raw chroma alignment scored at
+    chance (FTM2D's shingle needs > 75 BEATS — `FTM2D.py:88` returns a
+    zero shingle below that — and the Struc*/mfcc channels respond to
+    section structure and timbre the v1 audio didn't share). Each song
+    now plants what the corresponding reference channels actually read:
+
+    - ~60-75 s with a percussive beat grid (~2.3 beats/s, > 110 beats;
+      clique-shared tempo curve, per-cover global tempo factor) so the
+      onset tracker yields the beat sequence FTM2D/Struc* synchronize
+      to (`FTM2D.py:90`, `StrucFTM2D.py:63-75`);
+    - a verse/chorus FORM (A B A B C B of 8-chord sections, shared
+      within the clique, transposed per cover) so block SSMs / fused Ws
+      carry repeated-section structure (`StrucFTM2D.py:50-158`);
+    - a clique-specific instrument TIMBRE (harmonic overtone profile)
+      so MFCC-based channels (Serra09 mfcc, EarlyFusion ssms,
+      StrucFTM2D's MFCC SSM) see cover-invariant spectral envelopes.
+    """
     import numpy as np
 
     from acoss_tpu.features.audio import save_wav
@@ -58,34 +77,66 @@ def make_placeholder(covers32k: str, seed: int = 0,
     names = [f"artist{c:02d}_song{c:02d}" for c in range(n_cliques)]
     lists = {"list1.list": [], "list2.list": []}
 
-    def chord_audio(states, durs, transpose):
-        out = []
-        for s, d in zip(states, durs):
+    def chord_audio(states, beats_per_chord, transpose, tempo_factor,
+                    tempo_curve, timbre, prng):
+        beat0 = 0.43 * tempo_factor          # ~2.3 beats/s at factor 1
+        sig_parts = []
+        k = 0
+        for s, nb in zip(states, beats_per_chord):
             root = (s // 2 + transpose) % 12
             third = 4 if s % 2 == 0 else 3
-            n = int(d * SR)
+            dur = 0.0
+            beat_ts = []
+            for _ in range(int(nb)):
+                beat_ts.append(dur)
+                dur += beat0 * tempo_curve[k % len(tempo_curve)]
+                k += 1
+            n = int(dur * SR)
             t = np.arange(n) / SR
             sig = np.zeros(n)
             for iv in (0, third, 7):
-                for octv in (3, 4, 5):
-                    f = 440.0 * 2 ** (((root + iv) - 9) / 12 + (octv - 4))
-                    sig += np.sin(2 * np.pi * f * t +
-                                  rng.uniform(0, 6.28)) / (octv - 2)
-            out.append(sig / np.abs(sig).max())
-        y = np.concatenate(out)
-        y += 0.3 * rng.normal(size=y.size)
+                f0 = 440.0 * 2 ** (((root + iv) - 9) / 12 - 1)
+                for h, amp in enumerate(timbre, start=1):
+                    fh = f0 * h
+                    if fh > 8000:
+                        break
+                    sig += amp * np.sin(2 * np.pi * fh * t +
+                                        prng.uniform(0, 6.28))
+            sig /= max(np.abs(sig).max(), 1e-9)
+            # percussive beat: short noise bursts at the beat grid (the
+            # superflux novelty + DP tracker lock onto these)
+            for bt in beat_ts:
+                i0 = int(bt * SR)
+                ln = min(int(0.03 * SR), n - i0)
+                if ln > 0:
+                    env = np.exp(-np.arange(ln) / (0.006 * SR))
+                    sig[i0:i0 + ln] += 1.4 * env * prng.normal(size=ln)
+            sig_parts.append(sig)
+        y = np.concatenate(sig_parts)
+        y += 0.05 * prng.normal(size=y.size)
         return (0.8 * y / np.abs(y).max()).astype(np.float32)
 
     for c, name in enumerate(names):
         os.makedirs(os.path.join(covers32k, name), exist_ok=True)
-        states = rng.integers(0, 24, size=12)
-        durs = 1.0 + rng.random(12)
+        # verse/chorus form: 3 distinct 8-chord sections, A B A B C B
+        sections = [rng.integers(0, 24, size=8) for _ in range(3)]
+        form = [0, 1, 0, 1, 2, 1]
+        states = np.concatenate([sections[f] for f in form])
+        beats_per_chord = rng.integers(2, 5, size=states.size)
+        # clique-shared latents: tempo curve + instrument timbre
+        raw = rng.normal(0, 1, 32)
+        kern = np.exp(-0.5 * (np.arange(-6, 7) / 3.0) ** 2)
+        sm = np.convolve(raw, kern / kern.sum(), mode="same")
+        tempo_curve = 1.0 + 0.12 * sm / max(np.abs(sm).max(), 1e-9)
+        timbre = rng.random(10) ** 2 * (1.0 / np.arange(1, 11))
+        timbre /= timbre.sum()
         for p, listfile in enumerate(lists):
             tp = int(rng.integers(0, 12)) if p else 0
-            fac = float(rng.uniform(0.8, 1.25)) if p else 1.0
+            fac = float(rng.uniform(0.85, 1.2)) if p else 1.0
             rel = f"{name}/take{p}"
             save_wav(os.path.join(covers32k, rel + ".wav"),
-                     chord_audio(states, durs * fac, tp), SR)
+                     chord_audio(states, beats_per_chord, tp, fac,
+                                 tempo_curve, timbre, rng), SR)
             lists[listfile].append(rel)
     for listfile, rels in lists.items():
         with open(os.path.join(covers32k, listfile), "w") as f:

@@ -35,7 +35,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--algos",
                     default="Serra09,TGAlg,ChenFusion,EarlySNF,"
-                            "StrucFTM2D,StrucShingles")
+                            "StrucFTM2D,StrucShingles,"
+                            "FTM2D,Simple,EarlyFusion")
     ap.add_argument("--out", default="artifacts/crossimpl_parity.csv")
     args = ap.parse_args()
 
@@ -45,8 +46,9 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from acoss_tpu.benchmarking import crossimpl
-    from acoss_tpu.benchmarking.algorithms import (ChenFusion, EarlySNF,
-                                                   Serra09, TGAlg)
+    from acoss_tpu.benchmarking.algorithms import (ChenFusion,
+                                                   EarlyFusion, EarlySNF,
+                                                   Serra09, Simple, TGAlg)
     from acoss_tpu.benchmarking.harness import run_pairwise
     from acoss_tpu.data import make_synthetic_dataset
 
@@ -73,6 +75,12 @@ def main() -> int:
                                          downsample_fac=4),
         "EarlySNF": lambda: EarlySNF(chroma_type="hpcp",
                                      downsample_fac=4),
+        # WIN/SKIP scaled to the synthetic 160-480-frame songs (the
+        # covers80 defaults 200/100 would leave < SSLEN pooled frames);
+        # the pooling is descriptor-side and SHARED, the compared
+        # scoring (`Simple.oti` + `simple_sim`) depends only on SSLEN
+        "Simple": lambda: Simple(chroma_type="hpcp", WIN=20, SKIP=10),
+        "EarlyFusion": lambda: EarlyFusion(chroma_type="hpcp"),
     }
 
     all_rows = []
@@ -116,6 +124,63 @@ def main() -> int:
                       f"MAP ref={r['map_ref']:.4f} "
                       f"tpu={r['map_tpu']:.4f} dMAP={r['dmap']:+.4f}")
             continue
+        if name == "FTM2D":
+            # FTM2D (+ the 5 ablation variants): shared input is the
+            # per-song beat-synced median chroma; the compared math is
+            # the imported chrompwr/btchroma_to_fftmat + per-variant
+            # shingle glue + exp(-dSqr) (`FTM2D.py:9-48,90-98,126-129`).
+            # WIN=25: the synthetic songs have 40-120 beats (< the
+            # covers80 default WIN=75); WIN is a plain parameter of
+            # both stacks.
+            from acoss_tpu.benchmarking.algorithms import FTM2D
+            from acoss_tpu.ops.segment import sync_agg
+
+            clen = fs.length("hpcp")
+            olen = fs.length("onsets")
+            bts = []
+            for i in range(n):
+                on = fs.feature("onsets")[i, :olen[i], 0]
+                bts.append(sync_agg(fs.feature("hpcp")[i, :clen[i]],
+                                    on, "median").T)
+            variants = {
+                "main": {},
+                "noLog": {"do_log": False},
+                "noNorm": {"do_norm": False},
+                "noNormNoLog": {"do_log": False, "do_norm": False},
+                "zeroPad": {"mode": "zeropad", "do_log": False,
+                            "PAD_LEN": 256},
+                "zeroPadLog": {"mode": "zeropad", "do_log": True,
+                               "PAD_LEN": 256},
+            }
+            for vname, vkw in variants.items():
+                algo = FTM2D(chroma_type="hpcp", WIN=25, **vkw)
+                t0 = time.time()
+                ours = np.stack([algo.shingle_from_bt(bt) for bt in bts])
+                S_tpu = np.asarray(algo.full_scores(
+                    {"shingle": ours})["main"])
+                t_tpu = time.time() - t0
+                t0 = time.time()
+                refs = np.stack([crossimpl.ref_ftm2d_shingle(
+                    bt, PWR=algo.PWR, WIN=25, C=algo.C,
+                    do_log=algo.do_log, do_norm=algo.do_norm,
+                    mode=algo.mode, PAD_LEN=algo.PAD_LEN)
+                    for bt in bts])
+                S_ref = crossimpl.ref_ftm2d_scores(refs)
+                t_ref = time.time() - t0
+                print(f"[FTM2D:{vname}] acoss {t_tpu:.1f}s, "
+                      f"reference {t_ref:.1f}s")
+                for r in crossimpl.compare_channels(
+                        {"main": S_ref}, {"main": S_tpu}, fs.labels):
+                    r["algorithm"] = f"FTM2D_{vname}" \
+                        if vname != "main" else "FTM2D"
+                    all_rows.append(r)
+                    print(f"  {r['channel']:<22} "
+                          f"max|d|={r['max_abs_dscore']:.3e} "
+                          f"mean|d|={r['mean_abs_dscore']:.3e} "
+                          f"<=1e-3: {100 * r['frac_within_1e3']:.1f}%  "
+                          f"MAP ref={r['map_ref']:.4f} "
+                          f"tpu={r['map_tpu']:.4f} dMAP={r['dmap']:+.4f}")
+            continue
         algo = configs[name]()
         t0 = time.time()
         desc = algo.extract_descriptors(fs)
@@ -127,11 +192,17 @@ def main() -> int:
         t_tpu = time.time() - t0
 
         t0 = time.time()
-        kw = {"kappa": algo.kappa}
+        kw = {}
+        if name != "Simple":
+            kw["kappa"] = algo.kappa
         if name in ("Serra09", "EarlySNF"):
             kw["m"] = algo.m
         if name == "Serra09":
             kw["do_ssms"] = algo.do_ssms
+        if name == "Simple":
+            kw["sslen"] = algo.SSLEN
+        if name == "EarlyFusion":
+            kw["K"] = algo.K
         Ds_ref = crossimpl.reference_scores(name, desc, n, verbose=True,
                                             **kw)
         t_ref = time.time() - t0
@@ -140,7 +211,8 @@ def main() -> int:
 
         rows = crossimpl.compare_channels(Ds_ref, Ds_tpu, fs.labels,
                                           algo.DISTANCE_TYPES)
-        if name in ("Serra09", "EarlySNF", "TGAlg", "ChenFusion"):
+        if name in ("Serra09", "EarlySNF", "TGAlg", "ChenFusion",
+                    "EarlyFusion"):
             # diagnostic pass: the same reference glue under the
             # TIE-INCLUSIVE kNN policy — isolates argpartition's
             # arbitrary tie choices (on the duplicate ssms rows the
@@ -158,6 +230,18 @@ def main() -> int:
             post_tpu = {k: np.asarray(v) for k, v in post_tpu.items()}
             for r in crossimpl.compare_channels(post_ref, post_tpu,
                                                 fs.labels):
+                r["channel"] = "post_" + r["channel"]
+                rows.append(r)
+        if name == "EarlyFusion":
+            # do_late_fusion post pass (`EarlySNF_Old.py:235-241`)
+            post_ref = crossimpl.ref_earlyfusion_post(
+                Ds_ref, late_K=algo.late_K, late_niters=algo.late_niters)
+            post_tpu = algo.post_process(dict(Ds_tpu), desc)
+            post_tpu = {k: np.asarray(v) for k, v in post_tpu.items()}
+            for r in crossimpl.compare_channels(
+                    {k: post_ref[k] for k in ("late", "early+late")},
+                    {k: post_tpu[k] for k in ("late", "early+late")},
+                    fs.labels):
                 r["channel"] = "post_" + r["channel"]
                 rows.append(r)
         for r in rows:

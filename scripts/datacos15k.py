@@ -70,10 +70,14 @@ def cmd_extract(args) -> None:
           f"({args.cliques} x {args.clique_size} + {args.distractors})",
           flush=True)
     t0 = time.time()
+    # half_min_bytes below the ~25 KB/song chroma/mfcc slices: the
+    # default 64 KB threshold targets heavy leaves (ssms); HERE the
+    # point is an int8-quantized store end to end (VERDICT r4 item 1)
     desc = extract_streamed(_algo(args), corpus,
                             os.path.join(args.workdir, "store"),
                             chunk_songs=args.chunk_songs,
-                            quant="int8", verbose=True)
+                            quant="int8", verbose=True,
+                            half_min_bytes=args.quant_min_bytes)
     dt = time.time() - t0
     np.savez(os.path.join(args.workdir, "labels.npz"),
              labels=corpus.labels, track_ids=corpus.track_ids)
@@ -154,6 +158,7 @@ def main() -> int:
     ap.add_argument("--chunk-songs", type=int, default=256)
     ap.add_argument("--tile", type=int, default=16)
     ap.add_argument("--checkpoint-every", type=int, default=256)
+    ap.add_argument("--quant-min-bytes", type=int, default=16384)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

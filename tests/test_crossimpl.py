@@ -138,3 +138,85 @@ def test_chenfusion_crossimpl(corpus):
                 for k, v in algo.post_process(dict(tpu), desc).items()}
     _assert_rows(crossimpl.compare_channels(post_ref, post_tpu,
                                             corpus.labels), 1e-5)
+
+
+def test_ftm2d_crossimpl(corpus):
+    """FTM2D shingle math (imported chrompwr/btchroma_to_fftmat +
+    re-typed per-variant glue) vs our shingle_from_bt + Gram, on shared
+    beat-synced chroma — all six variants (VERDICT r4 item 4)."""
+    from acoss_tpu.benchmarking.algorithms import FTM2D
+    from acoss_tpu.ops.segment import sync_agg
+
+    n = corpus.n_songs
+    clen = corpus.length("hpcp")
+    olen = corpus.length("onsets")
+    bts = [sync_agg(corpus.feature("hpcp")[i, :clen[i]],
+                    corpus.feature("onsets")[i, :olen[i], 0],
+                    "median").T for i in range(n)]
+    variants = [
+        {}, {"do_log": False}, {"do_norm": False},
+        {"do_log": False, "do_norm": False},
+        {"mode": "zeropad", "do_log": False, "PAD_LEN": 128},
+        {"mode": "zeropad", "do_log": True, "PAD_LEN": 128},
+    ]
+    for vkw in variants:
+        algo = FTM2D(chroma_type="hpcp", WIN=25, **vkw)
+        ours = np.stack([algo.shingle_from_bt(bt) for bt in bts])
+        S_tpu = np.asarray(algo.full_scores({"shingle": ours})["main"])
+        refs = np.stack([crossimpl.ref_ftm2d_shingle(
+            bt, PWR=algo.PWR, WIN=25, C=algo.C, do_log=algo.do_log,
+            do_norm=algo.do_norm, mode=algo.mode, PAD_LEN=algo.PAD_LEN)
+            for bt in bts])
+        S_ref = crossimpl.ref_ftm2d_scores(refs)
+        rows = crossimpl.compare_channels({"main": S_ref},
+                                          {"main": S_tpu},
+                                          corpus.labels)
+        _assert_rows(rows, 1e-5)
+
+
+def test_simple_crossimpl(corpus):
+    """The imported `Simple.oti` + `simple_sim` (the reference's SiMPle
+    matrix-profile scoring, `Simple.py:41-117`) vs our tile path, on
+    shared pooled descriptors; asymmetric permutation sweep."""
+    from acoss_tpu.benchmarking.algorithms import Simple
+
+    algo = Simple(chroma_type="hpcp", WIN=20, SKIP=10)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    ref = crossimpl.reference_scores("Simple", desc, n,
+                                     sslen=algo.SSLEN)
+    rows = crossimpl.compare_channels(ref, tpu, corpus.labels)
+    _assert_rows(rows, 1e-5)
+    # asymmetric: the reference matrix must NOT be symmetrized
+    assert not np.allclose(ref["main"], ref["main"].T)
+
+
+def test_earlyfusion_crossimpl(corpus):
+    """`EarlySNF_Old.similarity` (imported CRPUtils/SimilarityFusion +
+    compiled swconstrained) vs our EarlyFusion tile path, + the
+    do_late_fusion post pass (small late_K: the module corpus has only
+    6 songs)."""
+    from acoss_tpu.benchmarking.algorithms import EarlyFusion
+
+    algo = EarlyFusion(chroma_type="hpcp", late_K=3, late_niters=5)
+    desc = algo.extract_descriptors(corpus)
+    n = corpus.n_songs
+    tpu = _acoss_scores(algo, desc, n)
+    ref = crossimpl.reference_scores("EarlyFusion", desc, n,
+                                     kappa=algo.kappa, K=algo.K)
+    rows = crossimpl.compare_channels(ref, tpu, corpus.labels)
+    # ssms CSMs can carry exact ties (duplicate block rows) where
+    # argpartition differs legitimately; the other channels are exact
+    _assert_rows([r for r in rows
+                  if not r["channel"].startswith("ssms")], 1e-5)
+    for r in rows:
+        assert r["dmap"] == pytest.approx(0.0, abs=1e-9), r
+    post_ref = crossimpl.ref_earlyfusion_post(ref, late_K=3,
+                                              late_niters=5)
+    post_tpu = algo.post_process(dict(tpu), desc)
+    rows = crossimpl.compare_channels(
+        {k: post_ref[k] for k in ("late", "early+late")},
+        {k: np.asarray(post_tpu[k]) for k in ("late", "early+late")},
+        corpus.labels)
+    _assert_rows(rows, 1e-2)   # fp64 reference SNF vs fp32 ours
