@@ -273,8 +273,9 @@ def fused_binary_crp_batch(X, Y, l1, l2, kappa: float = 0.095, m: int = 9,
 _MIN_FINITE_KEY = -2139095040        # key of -3.4028235e38 (0xFF7FFFFF)
 
 
-def _binarize_kernel(kappa, mutual, L,
-                     d_ref, l1_ref, l2_ref, s_ref, bits_ref):
+def _binarize_kernel(kappa, mutual, dual, L,
+                     d_ref, l1_ref, l2_ref, s_ref, bits_ref,
+                     bitsT_ref=None):
     PB = d_ref.shape[0]
     g = pl.program_id(0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -294,13 +295,19 @@ def _binarize_kernel(kappa, mutual, L,
         valid = (ii < l1) & (jj < l2)
         # +inf keys to its own bit pattern (b >= 0), above every finite
         # key and above the search range's hi — poisoned cells never pass
-        bits_ref[p] = jnp.where(valid, key, _INF_BITS)
+        bv = jnp.where(valid, key, _INF_BITS)
+        bits_ref[p] = bv
+        if dual:
+            bitsT_ref[p] = bv.T   # see `_fused_kernel`'s dual layout
         ks_r.append(jnp.maximum(
             jnp.round(kappa * l2.astype(jnp.float32)), 1.0))
         ks_c.append(jnp.maximum(
             jnp.round(kappa * l1.astype(jnp.float32)), 1.0))
 
     bits = [bits_ref[p] for p in range(PB)]
+    bitsT = [bitsT_ref[p] for p in range(PB)] if dual else None
+    r_shape = (1, L) if dual else (L, 1)
+    r_axis = 0 if dual else 1
 
     def search(it, carry):
         out = []
@@ -310,8 +317,9 @@ def _binarize_kernel(kappa, mutual, L,
             # hi very positive, so lo + (hi - lo) / 2 would wrap int32
             mid_r = (lo_r & hi_r) + jax.lax.shift_right_arithmetic(
                 lo_r ^ hi_r, 1)
-            cnt_r = jnp.sum((bits[p] <= mid_r).astype(jnp.float32),
-                            axis=1, keepdims=True)
+            src = bitsT[p] if dual else bits[p]
+            cnt_r = jnp.sum((src <= mid_r).astype(jnp.float32),
+                            axis=r_axis, keepdims=True)
             ge_r = cnt_r >= ks_r[p]
             nlo_r = jnp.where(ge_r, lo_r, mid_r + 1)
             nhi_r = jnp.where(ge_r, mid_r, hi_r)
@@ -326,14 +334,16 @@ def _binarize_kernel(kappa, mutual, L,
             out.append((nlo_r, nhi_r, lo_c, hi_c))
         return tuple(out)
 
-    zr = jnp.full((L, 1), _MIN_FINITE_KEY, jnp.int32)
-    fr = jnp.full((L, 1), _MAX_FINITE_BITS, jnp.int32)
+    zr = jnp.full(r_shape, _MIN_FINITE_KEY, jnp.int32)
+    fr = jnp.full(r_shape, _MAX_FINITE_BITS, jnp.int32)
     zc = jnp.full((1, L), _MIN_FINITE_KEY, jnp.int32)
     fc = jnp.full((1, L), _MAX_FINITE_BITS, jnp.int32)
     init = tuple((zr, fr, zc, fc) for _ in range(PB))
     res = jax.lax.fori_loop(0, 32, search, init)
     for p in range(PB):
         _, t_r, _, t_c = res[p]
+        if dual:
+            t_r = t_r.reshape(L, 1)
         S = bits[p] <= t_r
         if mutual:
             S = S & (bits[p] <= t_c)
@@ -341,10 +351,11 @@ def _binarize_kernel(kappa, mutual, L,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kappa", "mutual", "interpret"))
+    jax.jit, static_argnames=("kappa", "mutual", "interpret", "dual"))
 def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
                           mutual: bool = True,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          dual: bool = False):
     """Batched exact kNN binarization of (B, L, L) distance matrices.
 
     Per pair b: rows keep the round(kappa * l2[b]) smallest entries
@@ -376,8 +387,11 @@ def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
         l1 = jnp.pad(l1, (0, Bp - B))
         l2 = jnp.pad(l2, (0, Bp - B))
 
+    scratch = [pltpu.VMEM((_PB, L, L2), jnp.int32)]
+    if dual:
+        scratch.append(pltpu.VMEM((_PB, L, L2), jnp.int32))
     S = pl.pallas_call(
-        functools.partial(_binarize_kernel, kappa, mutual, L),
+        functools.partial(_binarize_kernel, kappa, mutual, dual, L),
         grid=(Bp // _PB,),
         in_specs=[
             pl.BlockSpec((_PB, L, L2), lambda b: (b, 0, 0),
@@ -390,7 +404,7 @@ def binarize_matrix_batch(D, l1, l2, kappa: float = 0.095,
         out_specs=pl.BlockSpec((_PB, L, L2), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, L, L2), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((_PB, L, L2), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(D, l1, l2)
     S = S[:B]
