@@ -30,5 +30,6 @@ STEP_TIMEOUT=9000 run placeholder_v2 python scripts/covers80_parity.py \
     --audio-dir /tmp/pcv2full/covers32k --make-placeholder \
     --features /tmp/pcv2full/feats.npz \
     --csv artifacts/results_covers80_placeholder.csv
+run dmax_probe python scripts/dmax_conv_probe.py
 run bench python bench.py
 echo "=== r5 queue done ($(date -u +%H:%M:%S))"
