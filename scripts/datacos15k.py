@@ -95,19 +95,25 @@ def cmd_sweep(args) -> None:
     n = len(np.load(os.path.join(args.workdir, "labels.npz"))["labels"])
     algo = _algo(args)
     t0 = time.time()
-    run_pairwise(algo, dict(desc), n, tile=args.tile,
-                 scores_dir=os.path.join(args.workdir, "scores"),
-                 checkpoint_path=os.path.join(args.workdir, "ledger.npz"),
-                 checkpoint_every=args.checkpoint_every,
-                 device_resident=True, verbose=True)
-    dt = time.time() - t0
     # cumulative wall across resumed invocations, for the measured
-    # h/chip record
+    # h/chip record — recorded in a finally so a kill/stall mid-run
+    # (the ledger-resume scenario this script exists to exercise)
+    # still counts its wall toward the total
     wall_path = os.path.join(args.workdir, "sweep_walls.json")
     walls = (json.load(open(wall_path)) if os.path.exists(wall_path)
              else [])
-    walls.append(round(dt, 1))
-    json.dump(walls, open(wall_path, "w"))
+    walls.append(0.0)
+    try:
+        run_pairwise(algo, dict(desc), n, tile=args.tile,
+                     scores_dir=os.path.join(args.workdir, "scores"),
+                     checkpoint_path=os.path.join(args.workdir,
+                                                  "ledger.npz"),
+                     checkpoint_every=args.checkpoint_every,
+                     device_resident=True, verbose=True)
+    finally:
+        dt = time.time() - t0
+        walls[-1] = round(dt, 1)
+        json.dump(walls, open(wall_path, "w"))
     pairs = n * (n - 1) // 2
     total = sum(walls)
     print(json.dumps({

@@ -26,16 +26,18 @@ NITER = 7
 
 
 def amortized(fn1, fnN, args, reps):
-    """Median amortized seconds/call over `reps` readings."""
-    _ = fn1(*args)
-    _ = fnN(*args)
+    """Median amortized seconds/call over `reps` readings. float()
+    forces the readback so each timing spans the full execution (the
+    jitted fns return a scalar reduction precisely for this)."""
+    _ = float(fn1(*args))
+    _ = float(fnN(*args))
     vals = []
     for _i in range(reps):
         t0 = time.perf_counter()
-        _ = fn1(*args)
+        _ = float(fn1(*args))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _ = fnN(*args)
+        _ = float(fnN(*args))
         tn = time.perf_counter() - t0
         vals.append(max(tn - t1, 1e-9) / (NITER - 1))
     return float(np.median(vals))
@@ -74,7 +76,7 @@ def main() -> int:
                     kappa=KAPPA, m=9, dual=dual)
                 return c + jnp.sum(S.astype(jnp.int32)), None
             c, _ = jax.lax.scan(body, 0, jnp.arange(n))
-            return c.block_until_ready()
+            return c
         return f
 
     for dual in (False, True):
@@ -102,7 +104,7 @@ def main() -> int:
                 return c + jnp.sum(fn(jnp.roll(S, k, 0),
                                       jnp.roll(a, k), b)), None
             c, _ = jax.lax.scan(body, 0.0, jnp.arange(n))
-            return c.block_until_ready()
+            return c
         return f
 
     for nm, fn in (("qmax", qmax_batch_best), ("dmax", dmax_batch_best)):
